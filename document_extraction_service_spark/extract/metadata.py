@@ -1,0 +1,58 @@
+"""Metadata harvesting.
+
+Analog of the reference's MetadataStrategy
+(/root/reference/app/core/extraction_modul/apis/metadata_api.py) with
+the Crossref network call (S6, metadata_api.py:212-227) excluded:
+everything comes from the page itself — <title>/<meta>/OpenGraph tags,
+the html lang attribute, the DOI regex over body text (X1,
+metadata_api.py:187-210, longest match wins per O5), and the abstract
+chapter (W7, metadata_api.py:96-145) as the description fallback.
+"""
+
+from __future__ import annotations
+
+from . import textops as X
+
+# DOI search window: the reference scans the first 2 pages
+# (metadata_api.py:187-210); we scan the first N chars of block text.
+DOI_SCAN_CHARS = 20_000
+DESCRIPTION_MAX_CHARS = 500
+
+
+def extract_metadata(parsed, chapters, title_guess, lang_hint):
+    meta = parsed.meta
+
+    title = parsed.title or meta.get("og:title", "") or title_guess or ""
+
+    authors: list[str] = []
+    for a in meta.get("__authors__", []):
+        if a and a not in authors:
+            authors.append(a)
+
+    lang = parsed.html_lang or (lang_hint or "")
+
+    scan = "\n".join(b.text for b in parsed.blocks)[:DOI_SCAN_CHARS]
+    dois = X.DOI_RE.findall(scan)
+    doi = max(dois, key=len).rstrip(".,;") if dois else None
+
+    publisher = meta.get("og:site_name") or meta.get("publisher") or None
+
+    description = meta.get("description") or meta.get("og:description") or None
+    if not description:
+        # W7: grow the abstract region from its header anchor — here the
+        # chapter whose header names the abstract
+        for ch in chapters:
+            h = (ch["header"] or "").lower()
+            if "abstract" in h or "zusammenfassung" in h:
+                first = ch["paragraphs"][0]["sentences"] if ch["paragraphs"] else []
+                description = " ".join(first)[:DESCRIPTION_MAX_CHARS] or None
+                break
+
+    return {
+        "title": title or None,
+        "authors": authors,
+        "lang": lang or None,
+        "doi": doi,
+        "publisher": publisher,
+        "description": description,
+    }

@@ -1,0 +1,79 @@
+"""Per-document pipeline: html bytes -> extraction dict.
+
+The composition mirrors the reference's fixed strategy-phase order
+(/root/reference/app/core/task_api/__init__.py:38-58): parse ->
+classify text areas -> tables -> metadata/images -> text assembly —
+except classification masks are immutable and all per-document
+"globals" (the reference's mutable class attributes,
+internal_models.py:54-57) are locals here, so documents are
+trivially parallel and the UDF is deterministic (safe task retries).
+
+This module has no Spark imports: the same function backs the pandas
+UDFs and the no-Spark unit tests (Spark vs pure-Python equivalence,
+SURVEY §5.2 item 3).
+"""
+
+from __future__ import annotations
+
+from ..htmlparse import parse_html
+from .images import extract_images
+from .metadata import extract_metadata
+from .tables import extract_tables
+from .text import build_text, classify_blocks
+
+_EMPTY_EXTRACTION = {
+    "extracted_text": "",
+    "chapters": [],
+    "tables": [],
+    "images": [],
+    "metadata": {
+        "title": None, "authors": [], "lang": None,
+        "doi": None, "publisher": None, "description": None,
+    },
+}
+
+
+def extract_document(html: bytes | None, url: str, lang_hint: str | None) -> dict:
+    """-> {'extraction': ..., 'status': ...} matching schema.RESULT.
+
+    Never raises: adversarial rows produce status.ok=False with the
+    error captured (the reference silently 500s its background task on
+    a bad PDF; SURVEY §7.4 #3 requires capture instead)."""
+    try:
+        parsed = parse_html(html)
+        labels = classify_blocks(parsed.blocks)
+        extracted_text, chapters, offsets, title_guess = build_text(
+            parsed.blocks, labels
+        )
+        tables = extract_tables(parsed, labels, parsed.blocks, offsets)
+        images = extract_images(parsed, offsets)
+        metadata = extract_metadata(parsed, chapters, title_guess, lang_hint)
+        return {
+            "extraction": {
+                "extracted_text": extracted_text,
+                "chapters": chapters,
+                "tables": tables,
+                "images": images,
+                "metadata": metadata,
+            },
+            "status": {
+                "ok": True,
+                "error": None,
+                "truncated": bool(parsed.truncated),
+                "n_blocks": len(parsed.blocks),
+                "n_tables": len(tables),
+                "n_images": len(images),
+            },
+        }
+    except Exception as e:  # pragma: no cover - defensive
+        return {
+            "extraction": dict(_EMPTY_EXTRACTION),
+            "status": {
+                "ok": False,
+                "error": f"{type(e).__name__}: {e}"[:500],
+                "truncated": False,
+                "n_blocks": 0,
+                "n_tables": 0,
+                "n_images": 0,
+            },
+        }

@@ -1,0 +1,180 @@
+"""Pure text operations shared by the extraction stages.
+
+The numeric constants here are *semantics*, not tuning: they define
+the output bytes (SURVEY §7.4 #2) and mirror the reference's pinned
+thresholds where one exists.  Every constant cites its origin.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- boilerplate / classification constants --------------------------------
+# link-density ceiling for a content block (north_star: "text-density +
+# link-density heuristics"; generalizes reference F2 text-area classes,
+# /root/reference/app/core/extraction_modul/apis/text_api.py:144-187)
+LINK_DENSITY_MAX = 0.33
+# minimum words for a block to stand alone as content (density floor)
+MIN_CONTENT_WORDS = 5
+# identical text appearing more than this many times in one document is
+# a recurring element (reference O6: bbox repeated > 2 times,
+# text_models.py:377-390)
+RECURRING_MAX = 2
+# fuzzy-dedup key length: first/last 50 chars of the \W-stripped text
+# (reference O7: fuzz.ratio > 95 on first/last 50 chars,
+# text_models.py:331-374; here the 95-similarity test is replaced by
+# exact key equality, deterministic and O(n) instead of O(n^2))
+FUZZY_KEY_LEN = 50
+# a chapter below this many characters is dropped (deterministic stand-in
+# for the reference's spaCy grammar filter F8, text_api.py:229-238)
+MIN_CHAPTER_CHARS = 20
+# a figure caption is valid with at most this many sentences after the
+# "Figure N." prefix (reference F9, image_models.py:102-113)
+MAX_CAPTION_SENTENCES = 2
+
+# boilerplate text patterns (analog of the reference's metadata regex
+# list F3, /root/reference/app/core/files/meta_data_pattern.json:1-12 —
+# email / links / doi / "please cite" / http; extended with web chrome)
+BOILER_PATTERNS = [
+    re.compile(p, re.I)
+    for p in (
+        r"\bcookies?\b",
+        r"all rights reserved",
+        r"\bshare on\b",
+        r"\blog ?in\b|\bsign ?up\b|\bsubscribe\b",
+        r"\bprivacy\b|\bterms\b|\bimprint\b",
+        r"©|\(c\) \d{4}",
+        r"[\w.+-]{1,64}@[\w-]{1,63}\.[\w.]{2,63}",
+        r"^https?://\S+$",
+        r"please cite",
+    )
+]
+# a pattern-matching block is only dropped when short — long prose that
+# merely mentions "privacy" is not chrome.  Both gates matter: the char
+# gate keeps regex scans off megabyte single-"word" blocks (a 2 MB
+# unbroken run is 1 word and would otherwise hit the patterns with
+# quadratic backtracking).
+BOILER_MAX_WORDS = 30
+BOILER_MAX_CHARS = 2_000
+
+# headers commonly found in the reference's domain (text_api.py:320-329)
+COMMON_HEADERS = frozenset(
+    "introduction conclusion conclusions references results discussion "
+    "experiment experiments setup methods abstract funding "
+    "acknowledgements conflicts of interest".split()
+)
+
+_WORD_RE = re.compile(r"\S+")
+_NONWORD_RE = re.compile(r"[\W_]+", re.UNICODE)
+
+
+def n_words(s: str) -> int:
+    return len(_WORD_RE.findall(s))
+
+
+def fuzzy_key(s: str) -> str:
+    """Normalized first/last FUZZY_KEY_LEN chars (reference O7 key)."""
+    t = _NONWORD_RE.sub("", s).lower()
+    if len(t) <= 2 * FUZZY_KEY_LEN:
+        return t
+    return t[:FUZZY_KEY_LEN] + t[-FUZZY_KEY_LEN:]
+
+
+# --- dehyphenation (reference W3, internal_models.py:492-515) --------------
+# soft hyphen followed by optional space then a lowercase letter: the two
+# word halves are fused; any remaining soft hyphens are dropped.
+_SOFT_HYPH_JOIN = re.compile(r"­ ?(?=[a-zäöüßà-ÿ])")
+_SOFT_HYPH_ANY = re.compile(r"­")
+
+
+def dehyphenate(s: str) -> str:
+    return _SOFT_HYPH_ANY.sub("", _SOFT_HYPH_JOIN.sub("", s))
+
+
+# --- sentence splitting (reference X8: segtok split_single; vendored
+# deterministic rules so fixture bytes cannot drift with a library
+# version, SURVEY §7.4 #1) ---------------------------------------------------
+# abbreviations that never end a sentence
+_ABBREVS = frozenset(
+    "et al e.g i.e fig figs tab vs cf dr prof no approx ca eq ref refs "
+    "etc jr sr st".split()
+)
+_SPLIT_CAND = re.compile(r"[.!?]+(?=\s+[\"'(\[]?[A-Z0-9ÄÖÜ])")
+
+
+def _token_before(s: str, pos: int) -> str:
+    j = pos
+    while j > 0 and not s[j - 1].isspace():
+        j -= 1
+    return s[j:pos]
+
+
+def split_sentences(s: str) -> list[str]:
+    """Deterministic sentence splitter + the reference's post-merge rule
+    (W6, text_models.py:673-690): a fragment is merged into the previous
+    sentence when the previous one does not end with '.', '!', '?' or
+    ends with 'et al.'."""
+    s = s.strip()
+    if not s:
+        return []
+    cuts = []
+    for m in _SPLIT_CAND.finditer(s):
+        tok = _token_before(s, m.start()).lower()
+        bare = tok.rstrip(".").lstrip("([\"'")
+        if bare in _ABBREVS:
+            continue
+        # single-letter initials: "A. Müller"
+        if len(bare) == 1 and bare.isalpha():
+            continue
+        # "et al." — token is "al", previous token "et"
+        if bare == "al":
+            prev = _token_before(s, m.start() - len(tok) - 1).lower().lstrip("([\"'")
+            if prev == "et":
+                continue
+        cuts.append(m.end())
+    parts, lo = [], 0
+    for c in cuts:
+        part = s[lo:c].strip()
+        if part:
+            parts.append(part)
+        lo = c
+    tail = s[lo:].strip()
+    if tail:
+        parts.append(tail)
+    # W6 merge pass
+    merged: list[str] = []
+    for p in parts:
+        if merged and (merged[-1].endswith("et al.") or merged[-1][-1] not in ".!?"):
+            merged[-1] = merged[-1] + " " + p
+        else:
+            merged.append(p)
+    return merged
+
+
+# --- cell word-type classification (reference A9: spaCy POS -> WORD/NUM/
+# UNKNOWN, text_detection.py:32-53; replaced by a deterministic regex
+# classifier per SURVEY §2.4) -------------------------------------------------
+_NUM_RE = re.compile(r"[\d.,%±\-–+e\s]+\Z")
+_HAS_DIGIT = re.compile(r"\d")
+
+
+def cell_type(s: str) -> str:
+    t = s.strip()
+    if not t:
+        return "UNKNOWN"
+    if _HAS_DIGIT.search(t) and _NUM_RE.match(t):
+        return "NUM"
+    if len(t) < 3:
+        return "UNKNOWN"
+    return "WORD"
+
+
+# --- name regexes -----------------------------------------------------------
+# table name (reference X2, table_models.py:52-59)
+TABLE_NAME_RE = re.compile(r"^\s*tab(?:le|\.)\s*(\d+)", re.I)
+# figure name (reference X3, image_models.py:60-66)
+FIGURE_NAME_RE = re.compile(r"^\s*fig(?:ure|\.)\s*(\d+)\.?\s*", re.I)
+# DOI (reference X1, metadata_api.py:187-210)
+DOI_RE = re.compile(r"10\.\d{4,9}/[-._;()/:\w]+")
+# table/figure description detectors (reference F4/F5)
+TABLE_DESC_PREFIX = "tab"

@@ -1,0 +1,138 @@
+"""Fixed schemas for the extraction engine.
+
+The reference is fixed-schema via Pydantic
+(/root/reference/app/core/schemas/datamodels.py) — validation is its
+only type system.  Here the equivalent is a pair of StructTypes
+declared once: the input `pages` table (shape fixed by
+BASELINE.json input_hint) and the output `pages_extracted` table
+(FIXTURES.md §4).  No schema inference anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Input: Common-Crawl-style pages table
+# (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+# ---------------------------------------------------------------------------
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Output: one struct per url.
+# Mirrors the reference's Document output model
+# (/root/reference/app/core/schemas/datamodels.py:12-21) with bbox
+# geometry replaced by char spans into `extracted_text`.
+# ---------------------------------------------------------------------------
+SPAN = T.StructType(
+    [
+        T.StructField("start", T.IntegerType(), True),
+        T.StructField("end", T.IntegerType(), True),
+    ]
+)
+
+CHAPTER = T.StructType(
+    [
+        # reference: Chapter{header, paragraphs} (datamodels.py:24-45)
+        T.StructField("header", T.StringType(), True),
+        T.StructField(
+            "paragraphs",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("sentences", T.ArrayType(T.StringType()), True)]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+TABLE = T.StructType(
+    [
+        # reference: Table{rows, columns, description, name, table_header}
+        # (datamodels.py:78-104); grid flattened to rows + cell_types.
+        T.StructField("name", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("header", T.ArrayType(T.StringType()), True),
+        T.StructField("header_kind", T.StringType(), True),  # 'row' | 'column'
+        T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType())), True),
+        T.StructField(
+            "cell_types", T.ArrayType(T.ArrayType(T.StringType())), True
+        ),  # WORD | NUM | UNKNOWN (reference text_detection.py:32-53)
+        T.StructField("span", SPAN, True),
+    ]
+)
+
+IMAGE = T.StructType(
+    [
+        # reference: Image{base64_file, description, name} (datamodels.py:72-75)
+        # — cropped bytes replaced by the src reference (north_star).
+        T.StructField("name", T.StringType(), True),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("span", SPAN, True),
+    ]
+)
+
+METADATA = T.StructType(
+    [
+        # reference: MetaData (datamodels.py:48-69) minus the Crossref-only
+        # fields (issn/journal/references need the network call excluded by
+        # SURVEY §2.1 S6); publisher/description harvested from meta tags.
+        T.StructField("title", T.StringType(), True),
+        T.StructField("authors", T.ArrayType(T.StringType()), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("doi", T.StringType(), True),
+        T.StructField("publisher", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+    ]
+)
+
+EXTRACTION = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("chapters", T.ArrayType(CHAPTER), True),
+        T.StructField("tables", T.ArrayType(TABLE), True),
+        T.StructField("images", T.ArrayType(IMAGE), True),
+        T.StructField("metadata", METADATA, True),
+    ]
+)
+
+STATUS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("truncated", T.BooleanType(), False),
+        T.StructField("n_blocks", T.IntegerType(), False),
+        T.StructField("n_tables", T.IntegerType(), False),
+        T.StructField("n_images", T.IntegerType(), False),
+    ]
+)
+
+# Combined UDF return type: the full per-row result.
+RESULT = T.StructType(
+    [
+        T.StructField("extraction", EXTRACTION, True),
+        T.StructField("status", STATUS, True),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("input_fingerprint", T.StringType(), False),
+        T.StructField("n_ok", T.LongType(), False),
+        T.StructField("n_failed", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("committed_at", T.TimestampType(), False),
+    ]
+)

@@ -1,0 +1,53 @@
+"""Regenerate golden extraction fixtures (tests/golden/*.json).
+
+Run only when extraction *semantics* intentionally change; the diff is
+the review surface.  Pinned ids: first N of each family (FIXTURES.md
+§3 — "fixed ids per family").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from document_extraction_service_spark import fixtures as fx
+from document_extraction_service_spark.extract.pipeline import extract_document
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
+PER_FAMILY = {"article": 10, "boilerplate": 8, "tabular": 8, "figure": 8, "metadata": 8, "edge": 8}
+SCAN_LIMIT = 3000
+
+
+def pinned_ids() -> list[int]:
+    want = dict(PER_FAMILY)
+    ids = []
+    for i in range(SCAN_LIMIT):
+        fam = fx.family_of(i)
+        if want.get(fam, 0) > 0:
+            want[fam] -= 1
+            ids.append(i)
+        if not any(want.values()):
+            break
+    return ids
+
+
+def main() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for old in os.listdir(GOLDEN_DIR):
+        if old.endswith(".json"):
+            os.unlink(os.path.join(GOLDEN_DIR, old))
+    for i in pinned_ids():
+        row = fx.gen_page(i)
+        res = extract_document(row["html"], row["url"], row["lang"])
+        doc = {"i": i, "url": row["url"], **res}
+        path = os.path.join(GOLDEN_DIR, f"page_{i:06d}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(doc, f, ensure_ascii=False, indent=1, sort_keys=True)
+    print(f"wrote {len(pinned_ids())} goldens to {GOLDEN_DIR}")
+
+
+if __name__ == "__main__":
+    main()
