@@ -1,0 +1,215 @@
+"""Batch extraction job: read -> repartition by url-hash -> extract ->
+write, with per-bucket lineage and resume.
+
+Spark lifecycle per SURVEY §3.4:
+
+    spark-submit --py-files engine.zip -m document_extraction_service_spark.job \\
+        --input <pages parquet | synthetic:N> --output <dir> --lineage <dir> \\
+        --run-id r1 [--n-buckets 128] [--resume]
+
+Scale design (north_rule requirements, mapped):
+  * explicit url-hash partitioning: bucket = pmod(xxhash64(url), B);
+    repartition on bucket before the UDF chain
+  * skew: url-hash buckets are row-count-uniform even under host skew
+    (urls are unique), so the map stage has no key skew; *work* skew
+    from giant pages is bounded by small Arrow batches + B >> cores so
+    stragglers overlap.  Host-keyed aggregations (where host skew does
+    bite) use the salted two-phase pattern in operators/relational.py.
+  * resumable checkpoints: each bucket is an atomic unit — dynamic
+    partition overwrite makes task replays idempotent per bucket; the
+    lineage table records (run_id, bucket, input_fingerprint, n_ok,
+    n_failed); --resume anti-joins finished buckets for the same input
+    fingerprint (SURVEY §4.4, Iceberg-snapshot semantics on a parquet
+    fallback — this container ships no Iceberg runtime jars, the
+    catalog calls are isolated in read_pages/write_* for swap-in).
+  * metrics: observe() on the extraction output feeds n_ok/n_failed
+    without a second action.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import hashlib
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import PAGES_SCHEMA
+from .udfs import extraction_col
+
+DEFAULT_BUCKETS = 128
+
+
+def input_fingerprint(spec: str) -> str:
+    """Stable identity of the input snapshot (SURVEY §4.4: Iceberg
+    snapshot id; parquet fallback: path + file listing)."""
+    if spec.startswith("synthetic:"):
+        return hashlib.md5(spec.encode()).hexdigest()
+    h = hashlib.md5(spec.encode())
+    if os.path.isdir(spec):
+        for name in sorted(os.listdir(spec)):
+            p = os.path.join(spec, name)
+            h.update(name.encode())
+            h.update(str(os.path.getsize(p)).encode())
+    elif os.path.isfile(spec):
+        h.update(str(os.path.getsize(spec)).encode())
+    return h.hexdigest()
+
+
+def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) -> DataFrame:
+    """`synthetic:N` -> distributed fixture generation; else parquet
+    path (swap point for `spark.read.format("iceberg")`)."""
+    if spec.startswith("synthetic:"):
+        from .fixtures import pages_df
+
+        n = int(spec.split(":", 1)[1])
+        return pages_df(spark, n, partitions=partitions)
+    return spark.read.schema(PAGES_SCHEMA).parquet(spec)
+
+
+def finished_buckets(spark: SparkSession, lineage_path: str, fingerprint: str) -> list[int]:
+    if not os.path.isdir(lineage_path) or not os.listdir(lineage_path):
+        return []
+    lin = spark.read.parquet(lineage_path)
+    rows = (
+        lin.filter(F.col("input_fingerprint") == fingerprint)
+        .select("bucket")
+        .distinct()
+        .collect()  # bucket set is tiny (<= n_buckets), driver-safe
+    )
+    return [r["bucket"] for r in rows]
+
+
+def run_job(
+    spark: SparkSession,
+    input_spec: str,
+    output_path: str,
+    lineage_path: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    resume: bool = False,
+    only_buckets: list[int] | None = None,
+    n_partitions: int | None = None,
+) -> dict:
+    """Returns job metrics dict. Idempotent per (input, bucket)."""
+    t0 = time.time()
+    fp = input_fingerprint(input_spec)
+    pages = read_pages(spark, input_spec)
+    pages = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+    skip: set[int] = set(finished_buckets(spark, lineage_path, fp)) if resume else set()
+    if only_buckets is not None:
+        pages = pages.filter(F.col("bucket").isin([int(b) for b in only_buckets]))
+    if skip:
+        # bucket list is small: broadcast-friendly isin, no shuffle
+        pages = pages.filter(~F.col("bucket").isin(sorted(skip)))
+
+    # explicit url-hash repartitioning before the UDF chain.  The bucket
+    # COLUMN (lineage/resume granularity, n_buckets) is decoupled from the
+    # physical partition count: tasks are sized ~2x cores so per-task fixed
+    # costs (scheduling, Arrow setup, parquet writer init) amortize while
+    # giant-page stragglers still overlap; dynamic partition overwrite
+    # keeps per-bucket idempotence regardless of task layout.
+    n_parts = n_partitions or max(2 * spark.sparkContext.defaultParallelism, 8)
+    pages = pages.repartition(n_parts, "bucket")
+
+    obs = Observation("extraction_metrics")
+    extracted = (
+        pages.select("url", "warc_ts", "html", "lang", "bucket")
+        .withColumn("_res", extraction_col())
+        .select(
+            "url",
+            "warc_ts",
+            "bucket",
+            F.col("_res.extraction").alias("extraction"),
+            F.col("_res.status").alias("status"),
+        )
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("status.ok").cast("long")).alias("n_ok"),
+            F.sum(F.col("status.truncated").cast("long")).alias("n_truncated"),
+        )
+    )
+
+    (
+        extracted.write.mode("overwrite")
+        # per-write (not session-conf) so bucket-level idempotence holds
+        # under any session: replays overwrite only the buckets they carry
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )
+
+    m = obs.get
+    wall_ms = int((time.time() - t0) * 1000)
+
+    # per-bucket lineage from the committed output (column-pruned scan:
+    # reads only bucket + status.ok, never the extraction payload)
+    out = spark.read.parquet(output_path)
+    lineage = (
+        out.groupBy("bucket")
+        .agg(
+            F.sum(F.col("status.ok").cast("long")).alias("n_ok"),
+            F.sum((~F.col("status.ok")).cast("long")).alias("n_failed"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("input_fingerprint", F.lit(fp))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .withColumn("committed_at", F.lit(_dt.datetime.utcnow()))
+        .select(
+            "run_id", "bucket", "input_fingerprint",
+            "n_ok", "n_failed", "wall_ms", "committed_at",
+        )
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    n_rows = int(m.get("n_rows", 0) or 0)
+    return {
+        "run_id": run_id,
+        "input_fingerprint": fp,
+        "n_rows": n_rows,
+        "n_ok": int(m.get("n_ok", 0) or 0),
+        "n_truncated": int(m.get("n_truncated", 0) or 0),
+        "wall_ms": wall_ms,
+        "docs_per_sec": n_rows / max(wall_ms / 1000.0, 1e-9),
+        "skipped_buckets": sorted(skip),
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages parquet path or synthetic:N")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--n-buckets", type=int, default=DEFAULT_BUCKETS)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .session import build_session
+
+    spark = build_session(master=args.master, app_name=f"extract-{args.run_id}")
+    try:
+        metrics = run_job(
+            spark,
+            args.input,
+            args.output,
+            args.lineage,
+            args.run_id,
+            n_buckets=args.n_buckets,
+            resume=args.resume,
+        )
+        print(metrics)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+"""DataFrame-level operators.
+
+Each module exposes QUERIES: dict[name, (spark, sf_dir) -> DataFrame]
+and ORACLES: dict[name, ANSI-SQL string for DuckDB].  Every query is a
+relational re-expression of a SURVEY §2 operator shape (cited per
+function) or a training-data-pipeline operator (dedup / similarity /
+text analysis) the engine adds beyond the reference.
+
+Determinism contract with the oracle comparison: float aggregates go
+through DECIMAL(18,6) sums (order-independent, exact in both engines)
+before any ROUND; window orderings always carry a unique tie-break
+column.
+"""
+
+from . import dedup, relational, similarity, textstats
+
+ALL_QUERIES: dict = {}
+ALL_ORACLES: dict = {}
+for _m in (relational, dedup, similarity, textstats):
+    ALL_QUERIES.update(_m.QUERIES)
+    ALL_ORACLES.update(_m.ORACLES)

@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's required configs.
+
+The settings encode SURVEY §4.3: Arrow exchange with small batches
+(html payloads are KB-MB, so records-per-batch — not bytes — must be
+bounded), Python worker reuse (inverting the reference's per-document
+model-reload bug, extraction_model.py:87), and AQE for runtime
+coalescing.  On a real cluster the same function is used by
+spark-submit jobs; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: bounded *records* per batch because each record can
+# carry a multi-MB html payload (SURVEY §4.3 "Bounded batch memory").
+ARROW_BATCH_RECORDS = 64
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "document_extraction_service_spark",
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if master.startswith("local["):
+        n = master[6:-1]
+        cores = cpus if n == "*" else int(n)
+    else:  # pragma: no cover - real cluster
+        cores = cpus
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_RECORDS))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

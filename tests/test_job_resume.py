@@ -1,0 +1,64 @@
+"""Job-level tests: lineage, resume, idempotence (SURVEY §5.2 item 5,
+FIXTURES.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extraction_service_spark.job import run_job
+
+N = 200
+BUCKETS = 16
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "lineage")
+
+
+def test_full_run_counts(spark, dirs):
+    out, lin = dirs
+    m = run_job(spark, f"synthetic:{N}", out, lin, "t-full", n_buckets=BUCKETS)
+    assert m["n_rows"] == N
+    assert m["n_ok"] == N
+    df = spark.read.parquet(out)
+    assert df.count() == N
+    assert df.select("url").distinct().count() == N
+    lineage = spark.read.parquet(lin)
+    assert lineage.agg(F.sum("n_ok")).collect()[0][0] == N
+
+
+def test_kill_and_resume_equals_clean_run(spark, dirs, tmp_path):
+    """Partial run (simulated kill after half the buckets committed) +
+    --resume rerun == one clean full run, no duplicate urls."""
+    out, lin = dirs
+    half = list(range(BUCKETS // 2))
+    m1 = run_job(spark, f"synthetic:{N}", out, lin, "t-part",
+                 n_buckets=BUCKETS, only_buckets=half)
+    assert 0 < m1["n_rows"] < N
+
+    m2 = run_job(spark, f"synthetic:{N}", out, lin, "t-resume",
+                 n_buckets=BUCKETS, resume=True)
+    assert set(m2["skipped_buckets"]) == set(half)
+    assert m1["n_rows"] + m2["n_rows"] == N
+
+    resumed = spark.read.parquet(out)
+    assert resumed.count() == N
+    assert resumed.select("url").distinct().count() == N
+
+    clean_out = str(tmp_path / "clean")
+    clean_lin = str(tmp_path / "clean_lineage")
+    run_job(spark, f"synthetic:{N}", clean_out, clean_lin, "t-clean", n_buckets=BUCKETS)
+    clean = spark.read.parquet(clean_out)
+    a = {r["url"]: r["extraction"]["extracted_text"] for r in resumed.collect()}
+    b = {r["url"]: r["extraction"]["extracted_text"] for r in clean.collect()}
+    assert a == b
+
+
+def test_rerun_is_idempotent(spark, dirs):
+    """Replaying an already-finished bucket overwrites, never duplicates."""
+    out, lin = dirs
+    run_job(spark, f"synthetic:{N}", out, lin, "t-1", n_buckets=BUCKETS)
+    run_job(spark, f"synthetic:{N}", out, lin, "t-2", n_buckets=BUCKETS)  # no resume: full replay
+    df = spark.read.parquet(out)
+    assert df.count() == N
+    assert df.select("url").distinct().count() == N
