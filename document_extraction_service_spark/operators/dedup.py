@@ -1,0 +1,269 @@
+"""Deduplication operators over the `documents` table.
+
+The training-data-pipeline operators the 100 TB engine needs beyond
+the reference (which dedups only within one document: O6 exact-bbox
+recurrence, O7 fuzzy first/last-50-chars — both generalized here to
+cross-document scale):
+
+  * exact dedup        — hash groupBy (O6 generalized)
+  * n-gram Jaccard     — shingle inverted-index join, NOT O(n^2)
+  * MinHash + LSH      — shingle -> minhash sketch -> banded bucket join
+  * SimHash            — 64-bit sketch + banded hamming candidate join
+
+Exact/Jaccard have DuckDB oracles (same arithmetic both engines).
+MinHash/SimHash depend on xxhash64 (no DuckDB equivalent) -> rows-only
+driver check; tests/test_operators_oracle.py instead asserts their
+candidate sets against the exact-Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3          # 3-word shingles
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 32
+LSH_BANDS = 8          # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
+SIMHASH_MAX_HAMMING = 12
+EMB_COS_THRESHOLD = 0.3   # synthetic embeddings: max within-label cosine ~0.47
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct k-word shingles (JVM-side only)."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.when(
+            F.size(toks) >= SHINGLE_K,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+                ),
+            ),
+        ).otherwise(F.array(F.col("text")))
+    )
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy; O6 generalized).
+    Returns every doc with its fingerprint and duplicate-group size —
+    at 10^12 rows this is a single shuffle on the hash key."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    counts = (
+        d.select(F.col("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_same"), F.min("doc_id").alias("canonical_id"))
+    )
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .join(counts, "fp")
+        .select("doc_id", "fp", "n_same", "canonical_id")
+    )
+
+
+SQL_EXACT = """
+WITH f AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+c AS (SELECT fp, COUNT(*) AS n_same, MIN(doc_id) AS canonical_id FROM f GROUP BY fp)
+SELECT f.doc_id, f.fp, c.n_same, c.canonical_id FROM f JOIN c USING (fp)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted-index
+    join (scales as sum of postings^2 per shingle, not docs^2)."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# DuckDB lists are 1-indexed; Spark transform above is 0-indexed — both
+# enumerate the same shingles.
+SQL_JACCARD = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, u.shingle FROM toks,
+    UNNEST(CASE WHEN len(t) >= {SHINGLE_K}
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN range(1, len(t) - {SHINGLE_K} + 2)]
+           ELSE [array_to_string(t, ' ')] END) AS u(shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: shingle -> MINHASH_PERMS seeded
+    xxhash64 min-sketches -> LSH_BANDS banded bucket join -> distinct
+    candidate pairs with band-agreement count.  The scale path: the
+    pair space never materializes, only same-bucket collisions.
+    Rows-only driver check (no xxhash64 in DuckDB); recall/precision vs
+    exact Jaccard asserted in tests."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            for j in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        part = mins.select(
+            "doc_id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates: 64-bit token-hash sign sketch per
+    doc, banded on 4x16-bit chunks (near-dups share >=1 exact chunk),
+    hamming distance <= SIMHASH_MAX_HAMMING on collisions.  Rows-only
+    driver check."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(64)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{k}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**k)).cast("long")
+            for k in range(63)  # bit 63 omitted: keep the sketch in signed-long range
+        ).alias("simhash"),
+    )
+    chunks = None
+    for c in range(4):
+        part = sim.select(
+            "doc_id", "simhash", F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= EMB_COS_THRESHOLD within label blocks
+    (blocked join — the label is the coarse partitioner, so the pair
+    space is sum of block^2, not n^2)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", dv.alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_COS_THRESHOLD)
+    )
+
+
+SQL_EMB_COSINE = """
+WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_EXACT,
+    "dedup_ngram_jaccard": SQL_JACCARD,
+    "dedup_embedding_cosine": SQL_EMB_COSINE,
+    # dedup_minhash_lsh / dedup_simhash: xxhash64-based, rows-only check
+}

@@ -1,0 +1,168 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Training-data-pipeline operators (no reference analog — the reference
+has no embeddings; its nearest-neighbour machinery J2/J3 is geometric,
+and these are its vector-space generalization):
+
+  * brute-force cosine top-k  — the exactness baseline (oracle-checked)
+  * LSH-bucketed ANN          — random-hyperplane signatures; the scale
+                                path (bucket join, no full cross join)
+
+All vector math is JVM-side (zip_with/aggregate over array columns) —
+no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 10          # vec_id < 10 are the query vectors
+# multi-table random-hyperplane LSH: for neighbours at cosine ~0.33
+# (angle ~70°) P(same side) ~ 0.61 per plane, so one table of many
+# planes has near-zero recall; L tables of 4 planes give
+# P(collide >= 1 table) = 1 - (1 - 0.61^4)^L ~ 0.82 at L=12.
+LSH_PLANES = 4
+LSH_TABLES = 12
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cos(av, bv):
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact top-k cosine neighbours for the first N_QUERIES vectors.
+    The query side is tiny -> broadcast; the corpus side streams, so on
+    a cluster this is a map-only scan of the corpus (no shuffle of the
+    embedding payload)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, v.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v))), 6) AS cosine
+  FROM v JOIN q ON v.vec_id != q.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {TOP_K}
+"""
+
+
+def _hyperplane(table: int, k: int, dims: int = 64):
+    """Deterministic pseudo-random hyperplane (table, k): component d
+    derived from xxhash64(table, k, d) mapped to [-1, 1).  Pure column
+    expression — the planes are code, not data, so executors never
+    fetch a model."""
+    return F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(F.lit(table), F.lit(k), F.lit(d)), F.lit(200001))
+                / F.lit(100000.0)
+                - 1.0
+            )
+            for d in range(dims)
+        ]
+    )
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """Multi-table random-hyperplane LSH ANN: LSH_TABLES independent
+    sign-bit signatures -> per-table bucket equi-join -> union of
+    candidates -> exact rerank, top-k per query.  The 10^12-scale path:
+    candidate generation is a bucket equi-join per table, never a cross
+    join; each table's signature is one map pass.  Rows-only driver
+    check; recall vs brute force asserted in tests."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+
+    def _sig(table: int):
+        return sum(
+            (
+                F.when(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), _hyperplane(table, k), lambda x, h: x * h),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    >= 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                * F.lit(2**k)
+            )
+            for k in range(LSH_PLANES)
+        ).cast("int")
+
+    sigs = e.select(
+        "vec_id", "v", *[_sig(t).alias(f"b{t}") for t in range(LSH_TABLES)]
+    )
+    buckets = None
+    for t in range(LSH_TABLES):
+        part = sigs.select(
+            "vec_id", "v", F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket")
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+QUERIES = {
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLES = {
+    "ann_topk_bruteforce": SQL_ANN_TOPK,
+    # ann_lsh_bucketed: xxhash64-derived hyperplanes, rows-only check
+}

@@ -1,0 +1,177 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline operators: language ID (stopword heuristic),
+quality scoring, token counting, and content fingerprinting — each a
+pure column-expression pipeline (JVM-side, codegen'd) with a DuckDB
+oracle computing the identical arithmetic.
+
+All scores avoid transcendental functions (exp/log differ in the last
+ulp across libm implementations); only +-*/ and comparisons are used,
+so both engines produce bit-identical doubles before ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# stopword marker lists for the langid heuristic (checked as whole words)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_RE_SPARK = TOKEN_RE.replace("\\", "\\\\")  # Spark SQL literal escaping
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _marker_hits(lang: str):
+    # NOTE: Spark SQL string literals process backslash escapes, so the
+    # regex needs doubled backslashes inside F.expr (DuckDB literals do
+    # not — its oracle uses single ones).
+    pat = r"\\b(" + "|".join(LANG_MARKERS[lang]) + r")\\b"
+    return F.size(F.expr(f"regexp_extract_all(lower(text), '{pat}', 0)"))
+
+
+def text_langid(spark, sf_dir):
+    """N-gram/stopword language-ID heuristic: argmax of marker-word
+    hits with a fixed precedence tie-break (en > de > fr > es >
+    unknown).  At 10^12 rows this is a pure map — no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    hits = {lang: _marker_hits(lang).alias(f"{lang}_hits") for lang in LANG_MARKERS}
+    scored = d.select("doc_id", *hits.values())
+    best = F.greatest(*[F.col(f"{lg}_hits") for lg in LANG_MARKERS])
+    pred = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(F.col("en_hits") == best, F.lit("en"))
+        .when(F.col("de_hits") == best, F.lit("de"))
+        .when(F.col("fr_hits") == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"), "en_hits", "de_hits")
+
+
+def _sql_hits(lang: str) -> str:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+SQL_LANGID = f"""
+WITH s AS (SELECT doc_id,
+                  {_sql_hits('en')} AS en_hits, {_sql_hits('de')} AS de_hits,
+                  {_sql_hits('fr')} AS fr_hits, {_sql_hits('es')} AS es_hits
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+            WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+            WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+            WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       en_hits, de_hits
+FROM s
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Quality score from length / stopword ratio / mean word length —
+    rational arithmetic only (cross-engine bit-identical)."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " "))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    stop_hits = _marker_hits("en")
+    mean_wlen = n_alpha / n_words
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_hits / n_words * 5.0, F.lit(1.0)) * 0.4
+        + F.least(mean_wlen / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    # floor instead of round: ROUND ties break HALF_UP in Spark but
+    # half-even in DuckDB; floor of the bit-identical double is safe
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.floor(score * 1_000_000) / 1_000_000).alias("quality_score"),
+    )
+
+
+_EN_PAT = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
+SQL_QUALITY = f"""
+WITH s AS (SELECT doc_id,
+                  len(string_split(trim(text), ' ')) AS n_words,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                  len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS stop_hits
+           FROM documents)
+SELECT doc_id, n_words,
+       floor((least(n_words / 100.0, 1.0) * 0.4
+              + least(stop_hits * 1.0 / n_words * 5.0, 1.0) * 0.4
+              + least((n_alpha * 1.0 / n_words) / 8.0, 1.0) * 0.2) * 1000000) / 1000000
+         AS quality_score
+FROM s
+"""
+
+
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters / digits / single punctuation)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens_ws"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)")
+        ).alias("n_tokens_re"),
+    )
+
+
+SQL_TOKENS = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens_re
+FROM documents
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 over the normalized token stream
+    (lowercase, punctuation stripped, whitespace collapsed) — the
+    canonical-form dedup key for a 10^12-row exact-dedup pass."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "), r" +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("n_norm_chars"),
+    )
+
+
+SQL_FINGERPRINT = """
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g')) AS norm
+           FROM documents)
+SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS n_norm_chars FROM n
+"""
+
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_tokens": text_tokens,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_langid": SQL_LANGID,
+    "text_quality": SQL_QUALITY,
+    "text_tokens": SQL_TOKENS,
+    "text_fingerprint": SQL_FINGERPRINT,
+}
