@@ -69,15 +69,26 @@ _NONWORD_RE = re.compile(r"[\W_]+", re.UNICODE)
 
 
 def n_words(s: str) -> int:
-    return len(_WORD_RE.findall(s))
+    return len(s.split())
+
+
+# bound the normalization window: stripping a megabyte block to take 50
+# chars is O(len) waste; 10x the key length of raw text is enough to
+# yield FUZZY_KEY_LEN stripped chars unless >90% punctuation (then the
+# key degrades gracefully to a shorter prefix — still deterministic)
+_FUZZY_WINDOW = 10 * FUZZY_KEY_LEN
 
 
 def fuzzy_key(s: str) -> str:
     """Normalized first/last FUZZY_KEY_LEN chars (reference O7 key)."""
-    t = _NONWORD_RE.sub("", s).lower()
-    if len(t) <= 2 * FUZZY_KEY_LEN:
-        return t
-    return t[:FUZZY_KEY_LEN] + t[-FUZZY_KEY_LEN:]
+    if len(s) <= 2 * _FUZZY_WINDOW:
+        t = _NONWORD_RE.sub("", s).lower()
+        if len(t) <= 2 * FUZZY_KEY_LEN:
+            return t
+        return t[:FUZZY_KEY_LEN] + t[-FUZZY_KEY_LEN:]
+    head = _NONWORD_RE.sub("", s[:_FUZZY_WINDOW]).lower()
+    tail = _NONWORD_RE.sub("", s[-_FUZZY_WINDOW:]).lower()
+    return head[:FUZZY_KEY_LEN] + tail[-FUZZY_KEY_LEN:]
 
 
 # --- dehyphenation (reference W3, internal_models.py:492-515) --------------

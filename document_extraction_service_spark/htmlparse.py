@@ -125,7 +125,10 @@ def sniff_decode(raw: bytes) -> tuple[str, str, bool]:
 
 
 def _norm_ws(s: str) -> str:
-    return _WS_RE.sub(" ", s).strip()
+    # C-level whitespace collapse (~4x faster than re.sub on this path);
+    # str.split also folds unicode spaces (NBSP), which is the desired
+    # rendering semantics for HTML text
+    return " ".join(s.split())
 
 
 class _BlockParser(HTMLParser):
