@@ -20,7 +20,7 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "60000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "150000"))
 
 
 def run_at(cores: int, n_pages: int) -> dict:
