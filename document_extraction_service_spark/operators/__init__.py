@@ -12,10 +12,10 @@ before any ROUND; window orderings always carry a unique tie-break
 column.
 """
 
-from . import dedup, relational, similarity, textstats
+from . import dedup, multimodal, relational, similarity, textstats
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
-for _m in (relational, dedup, similarity, textstats):
+for _m in (relational, dedup, similarity, textstats, multimodal):
     ALL_QUERIES.update(_m.QUERIES)
     ALL_ORACLES.update(_m.ORACLES)

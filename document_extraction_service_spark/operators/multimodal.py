@@ -1,0 +1,175 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The 100 TB training-data pipeline carries media payloads the same way
+this engine carries `html`: an opaque binary column plus a typed
+metadata struct, processed by Arrow-batched `mapInPandas` stages.  The
+Spark-side plumbing here — schema, batch iteration, partitioning
+behaviour, UDF signatures — is real and tested; the codec calls
+themselves are STUBBED (this container ships no image/audio libraries)
+behind `DecodeUnavailable` with a deterministic fake used for tests,
+clearly marked below.
+
+Stages (each a mapInPandas over Iterator[pd.DataFrame]):
+  * sniff_media     — magic-byte container detection + size stats
+  * image_features  — decode -> (width, height, channels, phash64)   [stubbed]
+  * audio_features  — decode -> (duration_s, sample_rate, rms)       [stubbed]
+  * frame_sample    — video -> every k-th frame reference            [stubbed]
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),       # image|audio|video|unknown
+        T.StructField("payload", T.BinaryType(), True),    # the opaque blob
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("magic", T.StringType(), True),
+                    T.StructField("digest", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("magic", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("phash64", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"RIFF": "riff",      # wav/webp container
+    b"\x1a\x45\xdf\xa3": "mkv",
+    b"OggS": "ogg",
+}
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real codec path: no image/audio libs in this
+    container.  Replace `_decode_image_real` with a PIL/libvips call
+    when deploying with codecs installed."""
+
+
+def sniff_magic(payload: bytes | None) -> str:
+    if not payload:
+        return "empty"
+    for sig, name in _MAGIC.items():
+        if payload[: len(sig)] == sig:
+            return name
+    return "unknown"
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover - stub
+    raise DecodeUnavailable("image codecs not installed in this environment")
+
+
+def _fake_image_features(payload: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decode used when codecs are unavailable:
+    width/height/phash derived from a stable digest of the payload.
+    Exercises the full Spark plumbing (batching, schema, nullability)
+    with reproducible values — NOT real pixel data."""
+    import hashlib
+
+    d = hashlib.md5(payload or b"").digest()
+    width = 64 + d[0] * 4
+    height = 64 + d[1] * 4
+    phash = int.from_bytes(d[8:16], "big", signed=True)
+    return width, height, phash
+
+
+def image_features(media: DataFrame, use_fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over opaque blobs.  The batch
+    shape is the scale contract: Arrow delivers bounded record batches,
+    the iterator never materializes a partition, and output rows drop
+    the payload (features only cross the shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "kind", "n_bytes", "magic",
+                "width", "height", "phash64", "decode_ok", "decode_error",
+            )}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = payload or b""
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(payload))
+                out["magic"].append(sniff_magic(payload))
+                try:
+                    if use_fake_decode:
+                        w, h, p = _fake_image_features(payload)
+                    else:
+                        w, h, p = _decode_image_real(payload)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["phash64"].append(p)
+                    out["decode_ok"].append(True)
+                    out["decode_error"].append(None)
+                except DecodeUnavailable as exc:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["phash64"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decode_error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def media_from_pages(spark: SparkSession, n: int = 300) -> DataFrame:
+    """Build a media table from the synthetic corpus: the html payload
+    stands in as the opaque blob (kind derived from url family)."""
+    from ..fixtures import pages_df
+
+    pages = pages_df(spark, n)
+    return pages.select(
+        F.col("url").alias("media_id"),
+        F.when(F.col("url").contains("/figure/"), "image")
+        .when(F.col("url").contains("/tabular/"), "video")
+        .otherwise("unknown")
+        .alias("kind"),
+        F.col("html").alias("payload"),
+        F.struct(
+            F.length("html").cast("long").alias("n_bytes"),
+            F.lit(None).cast("string").alias("magic"),
+            F.md5(F.col("html")).alias("digest"),
+        ).alias("meta"),
+    )
+
+
+def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: end-to-end media pipeline over 300 synthetic
+    blobs (rows-only check — payloads are built in-Spark).  Returns the
+    feature rows plus deterministic fake decode values."""
+    media = media_from_pages(spark, 300)
+    return image_features(media).select(
+        "media_id", "kind", "n_bytes", "magic", "width", "height", "decode_ok"
+    )
+
+
+QUERIES = {"media_features": media_features_query}
+ORACLES: dict[str, str] = {}  # payloads synthesized in-Spark: rows-only

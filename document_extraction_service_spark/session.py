@@ -43,6 +43,10 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_RECORDS))
         .config("spark.python.worker.reuse", "true")
+        # UDF-heavy scans: smaller input splits so scan-stage task count
+        # is never the parallelism ceiling (default 128MB packed a 1.5GB
+        # corpus into 12 tasks, capping 32 cores at 12 workers)
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
