@@ -426,3 +426,144 @@ ORACLES = {
     "rel_rollup_metrics": SQL_ROLLUP,
     "rel_salted_agg": SQL_SALTED,
 }
+
+
+# --- additional classic shapes (coverage breadth) ---------------------------
+def q_pivot(spark, sf_dir):
+    """Pivot (conditional aggregation): quantity sums per returnflag
+    pivoted on linestatus.  Oracle uses CASE-sums — same arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(dec)).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_o,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """EXISTS / left-semi: customers with event activity."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT: customers who ordered, split by whether they
+    also have events."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    both = o.intersect(e).withColumn("segment", F.lit("ordered_and_active"))
+    only_o = o.exceptAll(e).withColumn("segment", F.lit("ordered_only"))
+    return both.unionByName(only_o).select("k", "segment")
+
+
+SQL_SET_OPS = """
+WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+e AS (SELECT DISTINCT user_id AS k FROM events)
+SELECT k, 'ordered_and_active' AS segment FROM (SELECT k FROM o INTERSECT SELECT k FROM e)
+UNION ALL
+SELECT k, 'ordered_only' AS segment FROM (SELECT k FROM o EXCEPT SELECT k FROM e)
+"""
+
+
+def q_dense_topn(spark, sf_dir):
+    """dense_rank top-N with ties: top-2 order price ranks per priority."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_orderpriority", "o_orderkey", "rnk")
+    )
+
+
+SQL_DENSE_TOPN = """
+WITH r AS (SELECT o_orderpriority, o_orderkey,
+                  DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+           FROM orders)
+SELECT o_orderpriority, o_orderkey, rnk FROM r WHERE rnk <= 2
+"""
+
+
+def q_correlated_above_avg(spark, sf_dir):
+    """Correlated-subquery shape: customers above their nation's average
+    account balance (decorrelated to a window average, exact decimal)."""
+    c = _t(spark, sf_dir, "customer")
+    dec = "decimal(18,6)"
+    w = Window.partitionBy("c_nationkey")
+    nat_avg = (
+        F.sum(F.col("c_acctbal").cast(dec)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        c.withColumn("nat_avg", nat_avg)
+        .filter(F.col("c_acctbal") > F.col("nat_avg"))
+        .select("c_custkey", "c_nationkey", F.round("nat_avg", 4).alias("nat_avg"))
+    )
+
+
+SQL_CORRELATED = """
+WITH x AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_avg
+           FROM customer)
+SELECT c_custkey, c_nationkey, ROUND(nat_avg, 4) AS nat_avg
+FROM x WHERE c_acctbal > nat_avg
+"""
+
+
+QUERIES.update(
+    {
+        "rel_pivot": q_pivot,
+        "rel_cube": q_cube,
+        "rel_semi_join": q_semi_join,
+        "rel_set_ops": q_set_ops,
+        "rel_dense_topn": q_dense_topn,
+        "rel_correlated_above_avg": q_correlated_above_avg,
+    }
+)
+
+ORACLES.update(
+    {
+        "rel_pivot": SQL_PIVOT,
+        "rel_cube": SQL_CUBE,
+        "rel_semi_join": SQL_SEMI,
+        "rel_set_ops": SQL_SET_OPS,
+        "rel_dense_topn": SQL_DENSE_TOPN,
+        "rel_correlated_above_avg": SQL_CORRELATED,
+    }
+)

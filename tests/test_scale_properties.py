@@ -1,0 +1,75 @@
+"""Scale-property tests (SURVEY §5.2 item 6, shape-based not
+timing-based — wall-clock assertions are meaningless on a noisy VM)."""
+
+from pyspark.sql import functions as F
+
+from document_extraction_service_spark.fixtures import pages_df
+
+
+def test_bucket_uniformity_under_host_skew(spark):
+    """One host owns ~40% of rows (FIXTURES.md), but url-hash buckets
+    stay row-count-uniform — the reason the extraction map stage has no
+    key skew regardless of host distribution."""
+    df = pages_df(spark, 4000).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    )
+    counts = [r["c"] for r in df.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert len(counts) == 64
+    avg = sum(counts) / len(counts)
+    assert max(counts) < 1.6 * avg, f"bucket skew: max={max(counts)} avg={avg}"
+    # and the host distribution really is skewed (the premise)
+    hosts = (
+        df.withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .groupBy("host").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    top = max(r["c"] for r in hosts) / 4000
+    assert top > 0.3
+
+
+def test_salted_agg_equals_plain(spark):
+    """The salted two-phase aggregation is result-identical to the
+    plain aggregation (correctness of the skew pattern)."""
+    from document_extraction_service_spark.operators.relational import q_salted_agg
+
+    sf = "/root/testdata/sf0.001"
+    salted = {tuple(r) for r in q_salted_agg(spark, sf).collect()}
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    plain = {
+        tuple(r)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_default_session_compatibility():
+    """The driver contract must work on a vanilla SparkSession (no
+    engine configs).  Run in a subprocess: getOrCreate inside this
+    process would return (and then stop) the shared test session."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+import __spark_entry__ as entry
+spark = (SparkSession.builder.master("local[2]").appName("vanilla")
+         .config("spark.ui.enabled", "false").getOrCreate())
+assert entry.entry(spark).limit(3).count() == 3
+qs = entry.queries()
+assert qs["rel_pricing_summary"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["extract_corpus"](spark, "/root/testdata/sf0.001").count() == 500
+assert qs["media_features"](spark, "/root/testdata/sf0.001").count() == 300
+spark.stop()
+print("VANILLA_OK")
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=420
+    )
+    assert "VANILLA_OK" in out.stdout, out.stderr[-2000:]
