@@ -114,10 +114,9 @@ _SPLIT_CAND = re.compile(r"[.!?]+(?=\s+[\"'(\[]?[A-Z0-9ÄÖÜ])")
 
 
 def _token_before(s: str, pos: int) -> str:
-    j = pos
-    while j > 0 and not s[j - 1].isspace():
-        j -= 1
-    return s[j:pos]
+    # block text is whitespace-normalized upstream (single spaces), so
+    # C-level rfind replaces the per-char backward scan
+    return s[s.rfind(" ", 0, pos) + 1 : pos]
 
 
 def split_sentences(s: str) -> list[str]:
