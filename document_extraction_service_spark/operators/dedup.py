@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 
 SHINGLE_K = 3          # 3-word shingles
 JACCARD_THRESHOLD = 0.5
+# Document-frequency cap: a shingle present in more than this many
+# documents carries no near-duplicate signal ("one of the" at crawl
+# scale) and would detonate the postings self-product (sum of df^2 per
+# shingle).  Dropping it bounds every postings list, so the pair space
+# is <= n_shingles * DF_CAP^2 regardless of corpus size.  Jaccard is
+# computed over the capped shingle universe in BOTH engines (sizes and
+# intersections alike), so the oracle stays exact.
+SHINGLE_DF_CAP = 64
 MINHASH_PERMS = 32
 LSH_BANDS = 8          # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
 SIMHASH_MAX_HAMMING = 12
@@ -77,31 +85,58 @@ SELECT f.doc_id, f.fp, c.n_same, c.canonical_id FROM f JOIN c USING (fp)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted-index
-    join (scales as sum of postings^2 per shingle, not docs^2)."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    """Exact n-gram Jaccard near-dup pairs via a DF-capped postings
+    list (reference O7's fuzzy dedup generalized cross-document)."""
+    return jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def capped_postings(docs: DataFrame) -> DataFrame:
+    """shingle -> bounded postings array (every array <= SHINGLE_DF_CAP)."""
+    sh = _shingles(docs)
+    return sh.groupBy("shingle").agg(
+        F.collect_set("doc_id").alias("docs")
+    ).filter(F.size("docs") <= SHINGLE_DF_CAP)
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """One shuffle on shingle builds the postings list per shingle; lists
+    longer than SHINGLE_DF_CAP are dropped (no near-dup signal, and the
+    cap bounds the pair blow-up to df_cap^2 per shingle — the uncapped
+    form is sum of postings^2 and detonates on one hot trigram at crawl
+    scale).  Pairs are generated JVM-side by a double explode over the
+    bounded array — no string self-join, no skewed join key."""
+    postings = capped_postings(docs)
+    # post-cap set size per doc (Jaccard universe = capped shingles)
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    pairs = (
+        postings.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.filter("docs", lambda d: d > F.col("doc_a"))).alias("doc_b"),
+        )
+    )
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # filter on the UNROUNDED value (oracle does the same); emit
+    # floor(x*1e6)/1e6 — bit-identical across engines, no ROUND-tie skew
     return (
         common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(jac >= JACCARD_THRESHOLD)
+        .withColumn("jaccard", F.floor(jac * 1e6) / 1e6)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
 # DuckDB lists are 1-indexed; Spark transform above is 0-indexed — both
-# enumerate the same shingles.
+# enumerate the same shingles.  DF cap mirrored exactly: sizes and
+# intersections both computed over the capped shingle universe.
 SQL_JACCARD = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -110,13 +145,16 @@ sh AS (
            THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                  FOR i IN range(1, len(t) - {SHINGLE_K} + 2)]
            ELSE [array_to_string(t, ' ')] END) AS u(shingle)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+         WHERE df.df <= {SHINGLE_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       FLOOR(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) * 1e6) / 1e6 AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -231,13 +269,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= EMB_COS_THRESHOLD)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cosine"),
+            (F.floor(cos * 1e6) / 1e6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= EMB_COS_THRESHOLD)
     )
 
 
@@ -245,8 +283,8 @@ SQL_EMB_COSINE = """
 WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       ROUND(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+       FLOOR(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 1e6) / 1e6 AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) /
       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3

@@ -37,9 +37,10 @@ def q_pricing_summary(spark, sf_dir):
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(
-                F.sum(F.col("l_quantity").cast(dec)).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_qty"),
+            (F.floor(
+                F.sum(F.col("l_quantity").cast(dec)).cast("double")
+                / F.count(F.lit(1)) * 1e4
+            ) / 1e4).alias("avg_qty"),
         )
     )
 
@@ -49,7 +50,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+       FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e4) / 1e4 AS avg_qty
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -72,7 +73,7 @@ def q_band_filter(spark, sf_dir):
         part.withColumn("brand_avg", avg_exact)
         .withColumn("ratio", F.col("p_retailprice") / F.col("brand_avg"))
         .filter((F.col("ratio") >= 0.95) & (F.col("ratio") <= 1.05))
-        .select("p_partkey", "p_brand", F.round("ratio", 6).alias("ratio"))
+        .select("p_partkey", "p_brand", (F.floor(F.col("ratio") * 1e6) / 1e6).alias("ratio"))
     )
 
 
@@ -82,7 +83,7 @@ WITH x AS (
          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) OVER (PARTITION BY p_brand) AS DOUBLE)
            / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
   FROM part)
-SELECT p_partkey, p_brand, ROUND(p_retailprice / brand_avg, 6) AS ratio
+SELECT p_partkey, p_brand, FLOOR(p_retailprice / brand_avg * 1e6) / 1e6 AS ratio
 FROM x WHERE p_retailprice / brand_avg >= 0.95 AND p_retailprice / brand_avg <= 1.05
 """
 
@@ -216,7 +217,7 @@ y AS (
   SELECT user_id,
          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM x)
-SELECT user_id, MAX(sid) AS n_sessions, COUNT(*) AS n_events FROM y GROUP BY user_id
+SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM y GROUP BY user_id
 """
 
 
@@ -362,7 +363,7 @@ def q_rollup_metrics(spark, sf_dir):
 
 
 SQL_ROLLUP = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (lang, source)
 """
 
@@ -532,7 +533,7 @@ def q_correlated_above_avg(spark, sf_dir):
     return (
         c.withColumn("nat_avg", nat_avg)
         .filter(F.col("c_acctbal") > F.col("nat_avg"))
-        .select("c_custkey", "c_nationkey", F.round("nat_avg", 4).alias("nat_avg"))
+        .select("c_custkey", "c_nationkey", (F.floor(F.col("nat_avg") * 1e4) / 1e4).alias("nat_avg"))
     )
 
 
@@ -541,7 +542,7 @@ WITH x AS (SELECT c_custkey, c_nationkey, c_acctbal,
                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
                     / COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_avg
            FROM customer)
-SELECT c_custkey, c_nationkey, ROUND(nat_avg, 4) AS nat_avg
+SELECT c_custkey, c_nationkey, FLOOR(nat_avg * 1e4) / 1e4 AS nat_avg
 FROM x WHERE c_acctbal > nat_avg
 """
 

@@ -60,11 +60,28 @@ def ann_topk_bruteforce(spark, sf_dir):
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        # floor-to-1e-6, not ROUND: deterministic across engines
+        # (CLAUDE.md gotcha: ROUND ties HALF_UP Spark vs half-even DuckDB)
+        (F.floor(_cos(F.col("qv"), F.col("v")) * 1e6) / 1e6).alias("cosine"),
+    )
+    # Two-stage top-k: a single Window.partitionBy("query_id") funnels
+    # the whole scored corpus for each query through ONE task (≤
+    # N_QUERIES partitions regardless of cluster size).  Stage 1 takes
+    # top-k within (query_id, input-partition) — every window group is
+    # at most one scan partition's rows — stage 2 merges only k·P
+    # survivors per query.
+    local = scored.withColumn("part", F.spark_partition_id())
+    wl = Window.partitionBy("query_id", "part").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pre = (
+        local.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= TOP_K)
+        .drop("part", "lr")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
@@ -75,8 +92,8 @@ WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.qv, v.v) /
-               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v))), 6) AS cosine
+         FLOOR(list_dot_product(q.qv, v.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v))) * 1e6) / 1e6 AS cosine
   FROM v JOIN q ON v.vec_id != q.query_id),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored)
@@ -154,7 +171,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        (F.floor(_cos(F.col("qv"), F.col("v")) * 1e6) / 1e6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
