@@ -15,8 +15,14 @@ from . import textops as X
 
 # DOI search window: the reference scans the first 2 pages
 # (metadata_api.py:187-210); we scan the first N chars of block text.
+import re
+
 DOI_SCAN_CHARS = 20_000
 DESCRIPTION_MAX_CHARS = 500
+# W7 anchor scan: the reference looks at the first pages only
+# (metadata_api.py:96-145); we scan the first N blocks.
+ABSTRACT_SCAN_BLOCKS = 40
+_ABSTRACT_ANCHOR_RE = re.compile(r"(?:abstract|zusammenfassung)\s*[.:—-]\s*", re.I)
 
 
 def extract_metadata(parsed, chapters, title_guess, lang_hint):
@@ -46,6 +52,19 @@ def extract_metadata(parsed, chapters, title_guess, lang_hint):
             if "abstract" in h or "zusammenfassung" in h:
                 first = ch["paragraphs"][0]["sentences"] if ch["paragraphs"] else []
                 description = " ".join(first)[:DESCRIPTION_MAX_CHARS] or None
+                break
+    if not description:
+        # W7 anchor-block grow (metadata_api.py:96-145): the reference
+        # starts from a line beginning with "Abstract" and grows down.
+        # In the DOM the paragraph IS the grown region: take the first
+        # early block that *starts with* the keyword and carries real
+        # text after it (heading-less "Abstract. We present …" pages).
+        for b in parsed.blocks[:ABSTRACT_SCAN_BLOCKS]:
+            if b.n_chars > X.BOILER_MAX_CHARS * 4:
+                continue
+            m = _ABSTRACT_ANCHOR_RE.match(b.text)
+            if m and len(b.text) - m.end() >= X.MIN_CHAPTER_CHARS:
+                description = b.text[m.end():][:DESCRIPTION_MAX_CHARS]
                 break
 
     return {

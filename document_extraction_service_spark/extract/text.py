@@ -17,6 +17,51 @@ from collections import Counter
 from . import textops as X
 
 
+def _header_like(blocks, k) -> bool:
+    """Non-markup header detection (reference _identify_headers,
+    text_api.py:285-356): a short, link-free block becomes a heading
+    when it is
+
+      * a COMMON_HEADERS phrase (text_api.py:320-329, whole-phrase
+        match — see textops.COMMON_HEADERS), or
+      * enumerated ("^\\d") after a block ending in '.'
+        (starts_with_number ∧ prevEndsWithPoint, text_api.py:301,332)
+        and followed by a content-length block (long_textBlock_after,
+        text_api.py:307 — gate added so numbered list items after
+        prose never promote), or
+      * rendered entirely bold (`<b>`/`<strong>` ≥ 90% of chars) and
+        followed by a content-length block — the DOM-native stand-in
+        for the reference's font-size signal.
+
+    Gates shared with the reference: < HEADER_MAX_WORDS words
+    (text_api.py:313), > HEADER_MIN_CHARS non-space chars
+    (text_api.py:317).
+    """
+    b = blocks[k]
+    words = X.n_words(b.text)
+    if words >= X.HEADER_MAX_WORDS or b.n_link_chars > 0:
+        return False
+    if len(b.text.replace(" ", "")) <= X.HEADER_MIN_CHARS:
+        return False
+    if X.is_common_header(b.text):
+        return True
+    nxt = blocks[k + 1] if k + 1 < len(blocks) else None
+    next_is_content = (
+        nxt is not None
+        and not nxt.in_chrome
+        and X.n_words(nxt.text) >= X.MIN_CONTENT_WORDS
+    )
+    if not next_is_content:
+        return False
+    if b.n_bold_chars * 10 >= b.n_chars * 9 and not b.text.endswith("."):
+        return True
+    if b.text[:1].isdigit():
+        prev = blocks[k - 1] if k > 0 else None
+        if prev is not None and prev.text.endswith("."):
+            return True
+    return False
+
+
 def classify_blocks(blocks) -> list[str]:
     """Label each block: 'content' | 'heading' | 'title' | 'drop'.
 
@@ -61,6 +106,8 @@ def classify_blocks(blocks) -> list[str]:
             labels[k] = "title"
             seen_title = True
         elif b.heading >= 1:
+            labels[k] = "heading"
+        elif _header_like(blocks, k):
             labels[k] = "heading"
         elif words >= X.MIN_CONTENT_WORDS and link_density <= X.LINK_DENSITY_MAX:
             labels[k] = "content"

@@ -57,12 +57,43 @@ BOILER_PATTERNS = [
 BOILER_MAX_WORDS = 30
 BOILER_MAX_CHARS = 2_000
 
-# headers commonly found in the reference's domain (text_api.py:320-329)
+# headers commonly found in the reference's domain (text_api.py:320-329).
+# Phrases, not words: the reference's loose substring test ("in" ⊂
+# "introduction" would promote any short block containing "in") is
+# deliberately tightened to whole-phrase equality after normalization.
 COMMON_HEADERS = frozenset(
-    "introduction conclusion conclusions references results discussion "
-    "experiment experiments setup methods abstract funding "
-    "acknowledgements conflicts of interest".split()
+    {
+        "introduction", "conclusion", "conclusions", "references",
+        "results", "discussion", "experiment", "experiments", "setup",
+        "methods", "abstract", "funding", "acknowledgements",
+        "conflicts of interest",
+    }
 )
+
+# non-markup header detection gates (reference text_api.py:285-356):
+# short_textBlock = < 8 words (text_api.py:313), min_size = > 3
+# non-space chars (text_api.py:317)
+HEADER_MAX_WORDS = 8
+HEADER_MIN_CHARS = 3
+# leading enumeration: "1.", "2.3", "4)" etc. (starts_with_number,
+# text_api.py:301 — extended to strip the whole numbering token)
+_HEADER_ENUM_RE = re.compile(r"^\d+[\d.)]*\s+")
+
+
+def header_norm(text: str) -> str:
+    """Normalize a candidate header: strip leading enumeration and
+    trailing ':'/'.', lowercase."""
+    t = _HEADER_ENUM_RE.sub("", text.strip())
+    return t.rstrip(":. ").lower()
+
+
+def is_common_header(text: str) -> bool:
+    """Whole-phrase match against COMMON_HEADERS after normalization
+    (reference _part_of_heuristic_names, text_api.py:320-329,
+    tightened — see COMMON_HEADERS note)."""
+    if len(text) > BOILER_MAX_CHARS:  # length-gate every regex path
+        return False
+    return header_norm(text) in COMMON_HEADERS
 
 _WORD_RE = re.compile(r"\S+")
 _NONWORD_RE = re.compile(r"[\W_]+", re.UNICODE)

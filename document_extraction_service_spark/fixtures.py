@@ -144,13 +144,26 @@ def _sidebar(rng: random.Random, host: str) -> str:
 
 
 def _article_body(rng: random.Random, bank, n_sections: int) -> tuple[str, str]:
-    """Returns (html_sections, crawl_text_approx)."""
+    """Returns (html_sections, crawl_text_approx).
+
+    Header markup varies per document: <h2> (the markup path), a
+    bold-only paragraph, or a bare numbered/keyword paragraph — the
+    latter two exercise non-markup header detection (SURVEY X6,
+    reference text_api.py:285-356).  Extraction must produce the same
+    chapter structure regardless of style."""
     parts, crawl = [], []
     numbered = rng.random() < 0.6
+    style_roll = rng.random()
+    style = "h2" if style_roll < 0.6 else ("bold" if style_roll < 0.85 else "bare")
     for s in range(n_sections):
         name = _SECTION_NAMES[rng.randrange(len(_SECTION_NAMES) - 2)]  # skip refs/funding mostly
         header = f"{s + 1}. {name}" if numbered else name
-        parts.append(f"<h2>{header}</h2>")
+        if style == "h2":
+            parts.append(f"<h2>{header}</h2>")
+        elif style == "bold":
+            parts.append(f"<p><b>{header}</b></p>")
+        else:
+            parts.append(f"<p>{header}</p>")
         crawl.append(header)
         for _ in range(rng.randint(1, 3)):
             p = _paragraph(rng, bank, soft_hyphen=(rng.random() < 0.3))
@@ -288,14 +301,29 @@ def _page_metadata(rng: random.Random, host: str, lang: str) -> tuple[str, str, 
     abstract = _paragraph(rng, bank, n_sent=3)
     body, crawl = _article_body(rng, bank, rng.randint(1, 3))
     metas = "".join(f'<meta name="author" content="{a}">' for a in authors)
+    # abstract markup varies: h2 heading, bold-only pseudo-heading, or
+    # an inline "Abstract. …" anchor paragraph (W7 anchor-block grow,
+    # reference metadata_api.py:96-145); half the pages drop the
+    # description meta tag so the W7 fallback actually fires
+    abs_roll = rng.random()
+    if abs_roll < 0.5:
+        abs_html = f"<h2>Abstract</h2><p>{abstract}</p>"
+    elif abs_roll < 0.75:
+        abs_html = f"<p><b>Abstract</b></p><p>{abstract}</p>"
+    else:
+        abs_html = f"<p>Abstract. {abstract}</p>"
+    desc_meta = (
+        f'<meta name="description" content="{abstract[:120]}">'
+        if rng.random() < 0.5 else ""
+    )
     html = (
         f'<!DOCTYPE html><html lang="{lang or "en"}"><head><meta charset="utf-8">'
         f"<title>{title}</title>{metas}"
         f'<meta property="og:title" content="{title}">'
         f'<meta property="og:site_name" content="{host.split(".")[0].title()} Press">'
-        f'<meta name="description" content="{abstract[:120]}">'
+        f"{desc_meta}"
         f"</head><body>{_nav_block(host)}<main><h1>{title}</h1>"
-        f"<h2>Abstract</h2><p>{abstract}</p>"
+        f"{abs_html}"
         f"<p>Published under doi:{doi} by the journal consortium.</p>"
         f"{body}</main>{_footer_block(host)}</body></html>"
     )

@@ -59,6 +59,7 @@ class Block:
     heading: int  # 0 = not a heading, 1-6 = h1-h6
     n_chars: int
     n_link_chars: int
+    n_bold_chars: int
     in_chrome: bool
     depth: int
 
@@ -144,10 +145,12 @@ class _BlockParser(HTMLParser):
 
         self._buf: list[str] = []
         self._buf_link_chars = 0
+        self._buf_bold_chars = 0
         self._buf_tag = "p"
         self._buf_heading = 0
         self._depth = 0
         self._link_depth = 0
+        self._bold_depth = 0
         self._skip_depth = 0
         self._chrome_depth = 0
         self._in_title = False
@@ -164,8 +167,10 @@ class _BlockParser(HTMLParser):
             return
         text = _norm_ws("".join(self._buf))
         link_chars = self._buf_link_chars
+        bold_chars = self._buf_bold_chars
         self._buf = []
         self._buf_link_chars = 0
+        self._buf_bold_chars = 0
         if not text:
             return
         if len(self.blocks) >= MAX_BLOCKS:
@@ -179,6 +184,7 @@ class _BlockParser(HTMLParser):
                 heading=self._buf_heading,
                 n_chars=len(text),
                 n_link_chars=min(link_chars, len(text)),
+                n_bold_chars=min(bold_chars, len(text)),
                 in_chrome=self._chrome_depth > 0,
                 depth=self._depth,
             )
@@ -258,6 +264,10 @@ class _BlockParser(HTMLParser):
 
         if tag == "a":
             self._link_depth += 1
+        elif tag in ("b", "strong"):
+            # bold span tracking: the DOM signal replacing the
+            # reference's font-size header heuristic (text_api.py:285-356)
+            self._bold_depth += 1
         if tag in _CHROME_TAGS:
             self._chrome_depth += 1
         if tag == "table":
@@ -319,6 +329,8 @@ class _BlockParser(HTMLParser):
                 self._buf_tag = "p"
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
+        elif tag in ("b", "strong"):
+            self._bold_depth = max(0, self._bold_depth - 1)
         if tag in _CHROME_TAGS:
             self._chrome_depth = max(0, self._chrome_depth - 1)
         if self._tstack:
@@ -367,6 +379,8 @@ class _BlockParser(HTMLParser):
         self._buf.append(data)
         if self._link_depth > 0:
             self._buf_link_chars += len(_norm_ws(data))
+        if self._bold_depth > 0:
+            self._buf_bold_chars += len(_norm_ws(data))
 
 
 # ---------------------------------------------------------------------------

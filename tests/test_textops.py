@@ -86,3 +86,95 @@ class TestFuzzyKey:
     def test_doi(self):
         m = X.DOI_RE.findall("see doi:10.1234/abc.def-5 end")
         assert m == ["10.1234/abc.def-5"]
+
+
+# --- non-markup header detection (X6, reference text_api.py:285-356) --------
+
+def _doc(html: bytes):
+    from document_extraction_service_spark.extract.pipeline import extract_document
+    return extract_document(html, "http://t/x", "en")["extraction"]
+
+
+LONG = "This paragraph carries more than enough words to be classified as page content."
+
+
+def test_bold_only_block_is_header():
+    ext = _doc(
+        f"<html><body><h1>T</h1><p><b>Introduction</b></p><p>{LONG}</p></body></html>".encode()
+    )
+    assert [c["header"] for c in ext["chapters"]] == ["Introduction"]
+
+
+def test_keyword_block_is_header_without_markup():
+    ext = _doc(
+        f"<html><body><h1>T</h1><p>3. Conclusions</p><p>{LONG}</p></body></html>".encode()
+    )
+    assert [c["header"] for c in ext["chapters"]] == ["3. Conclusions"]
+
+
+def test_numbered_after_period_is_header():
+    ext = _doc(
+        f"<html><body><h1>T</h1><p>{LONG}</p>"
+        f"<p>2. Custom Named Part</p><p>{LONG} Two.</p></body></html>".encode()
+    )
+    assert "2. Custom Named Part" in [c["header"] for c in ext["chapters"]]
+
+
+def test_numbered_list_items_are_not_headers():
+    ext = _doc(
+        f"<html><body><h1>T</h1><p>{LONG}</p>"
+        f"<p>1. buy milk</p><p>2. buy eggs</p><p>{LONG}</p></body></html>".encode()
+    )
+    assert [c["header"] for c in ext["chapters"]] == [None]
+
+
+def test_bold_sentence_ending_with_period_not_header():
+    ext = _doc(
+        f"<html><body><h1>T</h1><p><b>We won the match.</b></p><p>{LONG}</p></body></html>".encode()
+    )
+    assert [c["header"] for c in ext["chapters"]] == [None]
+
+
+def test_linked_keyword_block_not_header():
+    ext = _doc(
+        f'<html><body><h1>T</h1><p><a href="/r">Results</a></p><p>{LONG}</p></body></html>'.encode()
+    )
+    assert [c["header"] for c in ext["chapters"]] == [None]
+
+
+def test_common_header_normalization():
+    from document_extraction_service_spark.extract import textops as X
+    assert X.is_common_header("3.2 Results:")
+    assert X.is_common_header("Conflicts of Interest")
+    assert not X.is_common_header("in")          # no substring looseness
+    assert not X.is_common_header("of")          # phrase split bug guard
+    assert not X.is_common_header("x" * 3000)    # length gate
+
+
+def test_abstract_anchor_paragraph_grows_description():
+    ext = _doc(
+        f"<html><body><h1>T</h1><p>Abstract. We present a deterministic engine "
+        f"for large scale extraction.</p><p>{LONG}</p></body></html>".encode()
+    )
+    assert ext["metadata"]["description"].startswith("We present a deterministic")
+
+
+def test_header_style_invariance():
+    """The same document rendered with h2 / bold-only / bare-keyword
+    headers must extract the same text and chapter structure."""
+    sections = [("1. Introduction", "Alpha " + LONG), ("2. Results", "Beta " + LONG)]
+    variants = {
+        "h2": "".join(f"<h2>{h}</h2><p>{p}</p>" for h, p in sections),
+        "bold": "".join(f"<p><b>{h}</b></p><p>{p}</p>" for h, p in sections),
+        "bare": "".join(f"<p>{h}</p><p>{p}</p>" for h, p in sections),
+    }
+    outs = {
+        k: _doc(f"<html><body><h1>T</h1>{v}</body></html>".encode())
+        for k, v in variants.items()
+    }
+    texts = {k: o["extracted_text"] for k, o in outs.items()}
+    chapters = {k: [c["header"] for c in o["chapters"]] for k, o in outs.items()}
+    assert texts["bold"] == texts["h2"] == texts["bare"]
+    assert chapters["bold"] == chapters["h2"] == chapters["bare"] == [
+        "1. Introduction", "2. Results"
+    ]
