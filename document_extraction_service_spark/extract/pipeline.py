@@ -45,7 +45,7 @@ def extract_document(html: bytes | None, url: str, lang_hint: str | None) -> dic
         extracted_text, chapters, offsets, title_guess = build_text(
             parsed.blocks, labels
         )
-        tables = extract_tables(parsed, labels, parsed.blocks, offsets)
+        tables, tables_truncated = extract_tables(parsed, labels, parsed.blocks, offsets)
         images = extract_images(parsed, offsets)
         metadata = extract_metadata(parsed, chapters, title_guess, lang_hint)
         return {
@@ -59,7 +59,7 @@ def extract_document(html: bytes | None, url: str, lang_hint: str | None) -> dic
             "status": {
                 "ok": True,
                 "error": None,
-                "truncated": bool(parsed.truncated),
+                "truncated": bool(parsed.truncated or tables_truncated),
                 "n_blocks": len(parsed.blocks),
                 "n_tables": len(tables),
                 "n_images": len(images),

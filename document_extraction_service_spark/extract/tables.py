@@ -20,15 +20,27 @@ ROW_MAX_RATIO = 2.0     # ... or >= 2 x table average
 MIN_AVG_CELLS = 2.0     # table kept iff avg cells/row >= 2
 MAX_SENTENCE_ROW_SHARE = 0.3  # quota of sentence-shaped rows
 SENTENCE_ROW_MIN_WORDS = 8
+# hard bound on the EXPANDED grid (raw cells are capped at parse time,
+# but colspan multiplies up to 64x and ragged-row padding multiplies by
+# max width — an 84KB page could otherwise expand past 2GB).  Every
+# row is clamped to MAX_GRID_CELLS // n_rows slots, so expanded size
+# never exceeds MAX_GRID_CELLS regardless of spans; never OOM,
+# flag truncated.
+MAX_GRID_CELLS = 16_384
 
 
-def fill_grid(rows) -> list[list[tuple[str, bool]]]:
+def fill_grid(rows) -> tuple[list[list[tuple[str, bool]]], bool]:
     """rowspan/colspan expansion into a dense (text, is_th) matrix —
     the exact-markup version of the reference's nearest-slot grid fill
     (J7, table_models.py:283-349,475-545): ragged rows are padded with
-    empty cells, spans repeat their value into covered slots."""
+    empty cells, spans repeat their value into covered slots.
+
+    Returns (grid, truncated): expansion is clamped to a per-row slot
+    budget of MAX_GRID_CELLS // n_rows (see MAX_GRID_CELLS note)."""
     if not rows:
-        return []
+        return [], False
+    per_row_cap = max(1, MAX_GRID_CELLS // len(rows))
+    truncated = False
     grid: list[list[tuple[str, bool] | None]] = []
     pending: dict[int, list] = {}  # col -> [remaining_rows, text, th]
     for r, row in enumerate(rows):
@@ -37,6 +49,9 @@ def fill_grid(rows) -> list[list[tuple[str, bool]]]:
         it = iter(row)
         cell = next(it, None)
         while cell is not None or c in pending:
+            if c >= per_row_cap:
+                truncated = True
+                break
             if c in pending:
                 rem = pending[c]
                 out.append((rem[1], rem[2]))
@@ -47,6 +62,9 @@ def fill_grid(rows) -> list[list[tuple[str, bool]]]:
                 continue
             text, th, colspan, rowspan = cell
             for _ in range(colspan):
+                if c >= per_row_cap:
+                    truncated = True
+                    break
                 out.append((text, th))
                 if rowspan > 1:
                     pending[c] = [rowspan - 1, text, th]
@@ -58,7 +76,7 @@ def fill_grid(rows) -> list[list[tuple[str, bool]]]:
         [(cell if cell is not None else ("", False)) for cell in row]
         + [("", False)] * (width - len(row))
         for row in grid
-    ]
+    ], truncated
 
 
 def _is_sentence_row(row, raw_cell_count: int) -> bool:
@@ -121,13 +139,17 @@ def header_orientation(grid) -> str:
 
 
 def extract_tables(parsed, labels, blocks, offsets):
-    """ParseResult -> list of output-table dicts (schema.TABLE)."""
+    """ParseResult -> (list of output-table dicts (schema.TABLE),
+    truncated: bool — True when any grid expansion hit its budget)."""
     from .text import anchor_span
 
     out = []
+    truncated = False
     t_counter = 0
+    used_caption_blocks: set[int] = set()  # J2: without-replacement
     for tc in parsed.tables:
-        grid_th = fill_grid(tc.rows)
+        grid_th, g_trunc = fill_grid(tc.rows)
+        truncated = truncated or g_trunc
         raw_counts = [len(r) for r in tc.rows]
         kept = validate_rows(grid_th, raw_counts)
         if not table_valid(grid_th, raw_counts, kept):
@@ -135,13 +157,19 @@ def extract_tables(parsed, labels, blocks, offsets):
         grid = [grid_th[r] for r in kept]
 
         # caption: <caption> if present, else nearest preceding block
-        # starting with "tab" (F4, table_api.py:43-48)
+        # starting with "tab" (F4, table_api.py:43-48) — greedy
+        # WITHOUT replacement (J2, table_models.py:93-153): a caption
+        # block feeds at most one table, so consecutive caption-less
+        # tables never share one description
         caption = tc.caption
         if not caption:
             for k in range(tc.anchor - 1, -1, -1):
+                if k in used_caption_blocks:
+                    continue
                 btxt = blocks[k].text.lstrip().lower()
                 if btxt.startswith(X.TABLE_DESC_PREFIX):
                     caption = blocks[k].text
+                    used_caption_blocks.add(k)
                     break
         m = X.TABLE_NAME_RE.match(caption or "")
         t_counter += 1
@@ -170,4 +198,4 @@ def extract_tables(parsed, labels, blocks, offsets):
                 "span": anchor_span(tc.anchor, offsets),
             }
         )
-    return out
+    return out, truncated

@@ -194,18 +194,20 @@ class _BlockParser(HTMLParser):
         t = self._tstack[-1]
         if t["cell_parts"] is not None:
             text = _norm_ws("".join(t["cell_parts"]))
-            if len(t["cap"].rows) <= MAX_CELLS_PER_TABLE:  # row guard below
+            # per-table CELL counter (includes the in-progress row —
+            # a single mega-row can no longer evade the budget)
+            if t["n_cells"] < MAX_CELLS_PER_TABLE:
                 t["row"].append((text, t["cell_th"], t["colspan"], t["rowspan"]))
+                t["n_cells"] += 1
+            else:
+                self.truncated = True
             t["cell_parts"] = None
 
     def _flush_row(self) -> None:
         t = self._tstack[-1]
         self._flush_cell()
         if t["row"]:
-            if sum(len(r) for r in t["cap"].rows) < MAX_CELLS_PER_TABLE:
-                t["cap"].rows.append(t["row"])
-            else:
-                self.truncated = True
+            t["cap"].rows.append(t["row"])
         t["row"] = []
 
     # -- HTMLParser hooks ---------------------------------------------------
@@ -276,7 +278,8 @@ class _BlockParser(HTMLParser):
                 self.tables.append(cap)
                 self._tstack.append(
                     dict(cap=cap, row=[], cell_parts=None, cell_th=False,
-                         colspan=1, rowspan=1, in_caption=False, cap_parts=[])
+                         colspan=1, rowspan=1, in_caption=False, cap_parts=[],
+                         n_cells=0)
                 )
         elif self._tstack:
             t = self._tstack[-1]

@@ -44,19 +44,29 @@ from .udfs import extraction_col
 DEFAULT_BUCKETS = 128
 
 
-def input_fingerprint(spec: str) -> str:
-    """Stable identity of the input snapshot (SURVEY §4.4: Iceberg
-    snapshot id; parquet fallback: path + file listing)."""
+def input_fingerprint(spec: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
+    """Stable identity of the (input snapshot, bucketing) pair (SURVEY
+    §4.4: Iceberg snapshot id; parquet fallback: recursive file
+    listing).  n_buckets is folded in because bucket ids are only
+    comparable under the same modulus — resuming a B=128 lineage row
+    into a B=64 run would silently skip wrong buckets.  Data files are
+    hashed by relative path + size + mtime: regenerating input in
+    place changes the fingerprint even at identical sizes (fails to
+    the safe side: work is redone, never wrongly skipped)."""
+    h = hashlib.md5(f"{spec}|B={n_buckets}".encode())
     if spec.startswith("synthetic:"):
-        return hashlib.md5(spec.encode()).hexdigest()
-    h = hashlib.md5(spec.encode())
+        return h.hexdigest()
     if os.path.isdir(spec):
-        for name in sorted(os.listdir(spec)):
-            p = os.path.join(spec, name)
-            h.update(name.encode())
-            h.update(str(os.path.getsize(p)).encode())
+        for root, dirs, files in os.walk(spec):
+            dirs.sort()
+            rel = os.path.relpath(root, spec)
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                h.update(f"{rel}/{name}|{st.st_size}|{st.st_mtime_ns}".encode())
     elif os.path.isfile(spec):
-        h.update(str(os.path.getsize(spec)).encode())
+        st = os.stat(spec)
+        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 
@@ -111,7 +121,7 @@ def run_job(
 ) -> dict:
     """Returns job metrics dict. Idempotent per (input, bucket)."""
     t0 = time.time()
-    fp = input_fingerprint(input_spec)
+    fp = input_fingerprint(input_spec, n_buckets)
     bucketed = is_bucketed_input(input_spec)
     pages = read_pages(spark, input_spec)
     if not bucketed:
@@ -151,6 +161,12 @@ def run_job(
             "url",
             "warc_ts",
             "bucket",
+            # snapshot identity embedded per row (constant -> RLE'd to
+            # ~nothing in parquet): the lineage scan below and any
+            # later audit can scope to THIS input without trusting the
+            # directory state (stale buckets from an older input are
+            # excluded by construction, not by set arithmetic)
+            F.lit(fp).alias("input_fp"),
             F.col("_res.extraction").alias("extraction"),
             F.col("_res.status").alias("status"),
         )
@@ -169,10 +185,12 @@ def run_job(
     wall_ms = int((time.time() - t0) * 1000)
 
     # per-bucket lineage from the committed output (column-pruned scan:
-    # reads only bucket + status.ok, never the extraction payload).
-    # Restricted to THIS run's buckets: resumed runs must not re-record
-    # (or re-count) buckets committed by earlier runs.
-    out = spark.read.parquet(output_path)
+    # reads only bucket + input_fp + status.ok, never the extraction
+    # payload).  Scoped to THIS input via the embedded input_fp —
+    # bucket partitions left over from an older input (dynamic
+    # overwrite never touches buckets absent from the current input)
+    # are excluded — and to this run's buckets via skip/only.
+    out = spark.read.parquet(output_path).filter(F.col("input_fp") == fp)
     if skip:
         out = out.filter(~F.col("bucket").isin(sorted(skip)))
     if only_buckets is not None:

@@ -62,3 +62,46 @@ def test_rerun_is_idempotent(spark, dirs):
     df = spark.read.parquet(out)
     assert df.count() == N
     assert df.select("url").distinct().count() == N
+
+
+def test_fingerprint_includes_n_buckets_and_mtime(tmp_path):
+    """ADVICE r1: same input under a different modulus, or regenerated
+    in place, must NOT share a fingerprint."""
+    import os
+    import time as _time
+    from document_extraction_service_spark.job import input_fingerprint
+
+    assert input_fingerprint("synthetic:100", 128) != input_fingerprint("synthetic:100", 64)
+
+    d = tmp_path / "in" / "bucket=0"
+    d.mkdir(parents=True)
+    f = d / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    fp1 = input_fingerprint(str(tmp_path / "in"), 128)
+    _time.sleep(0.01)
+    f.write_bytes(b"bbbb")  # same size, regenerated in place
+    fp2 = input_fingerprint(str(tmp_path / "in"), 128)
+    assert fp1 != fp2
+    assert input_fingerprint(str(tmp_path / "in"), 64) != fp2
+    # nested data files (bucket dirs) are recursed into, not just sized
+    (d / "part-1.parquet").write_bytes(b"cc")
+    assert input_fingerprint(str(tmp_path / "in"), 128) != fp2
+
+
+def test_lineage_excludes_stale_buckets_from_other_input(spark, dirs):
+    """ADVICE r1: buckets committed from an older, different input must
+    not leak into a later run's lineage/metrics (dynamic overwrite never
+    clears buckets absent from the current input)."""
+    out, lin = dirs
+    m1 = run_job(spark, f"synthetic:{N}", out, lin, "t-old", n_buckets=BUCKETS)
+    assert m1["n_rows"] == N
+    # different input, SAME output dir: hits fewer/different buckets
+    m2 = run_job(spark, "synthetic:37", out, lin, "t-new", n_buckets=BUCKETS)
+    assert m2["n_rows"] == 37  # not 37 + stale remainder
+    lineage = spark.read.parquet(lin)
+    new_rows = lineage.filter(F.col("run_id") == "t-new")
+    assert new_rows.agg(F.sum("n_ok")).collect()[0][0] == 37
+    # resume under the new input skips only buckets recorded for ITS fingerprint
+    m3 = run_job(spark, "synthetic:37", out, lin, "t-new-resume",
+                 n_buckets=BUCKETS, resume=True)
+    assert m3["n_rows"] == 0

@@ -10,40 +10,40 @@ def _cell(t, th=False, cs=1, rs=1):
 class TestFillGrid:
     def test_plain(self):
         rows = [[_cell("a"), _cell("b")], [_cell("c"), _cell("d")]]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         assert [[t for t, _ in r] for r in g] == [["a", "b"], ["c", "d"]]
 
     def test_colspan(self):
         rows = [[_cell("a", cs=2), _cell("b")], [_cell("c"), _cell("d"), _cell("e")]]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         assert [[t for t, _ in r] for r in g] == [["a", "a", "b"], ["c", "d", "e"]]
 
     def test_rowspan(self):
         rows = [[_cell("a", rs=2), _cell("b")], [_cell("c")]]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         assert [[t for t, _ in r] for r in g] == [["a", "b"], ["a", "c"]]
 
     def test_ragged_padded(self):
         # J7 gap-fill semantics (table_models.py:283-349): ragged rows pad
         rows = [[_cell("a"), _cell("b"), _cell("c")], [_cell("d")]]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         assert [[t for t, _ in r] for r in g] == [["a", "b", "c"], ["d", "", ""]]
 
     def test_empty(self):
-        assert TB.fill_grid([]) == []
+        assert TB.fill_grid([]) == ([], False)
 
 
 class TestValidators:
     def test_single_column_table_rejected(self):
         # the decoy nav table: avg cells/row < 2 (table_models.py:793-800)
         rows = [[_cell("x")] for _ in range(5)]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         kept = TB.validate_rows(g, [1] * 5)
         assert not TB.table_valid(g, [1] * 5, kept)
 
     def test_good_table_kept(self):
         rows = [[_cell("a"), _cell("b"), _cell("c")] for _ in range(4)]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         kept = TB.validate_rows(g, [3] * 4)
         assert kept == [0, 1, 2, 3]
         assert TB.table_valid(g, [3] * 4, kept)
@@ -56,7 +56,7 @@ class TestValidators:
             [_cell("short")],
             [_cell("d"), _cell("e"), _cell("f")],
         ]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         kept = TB.validate_rows(g, raw)
         assert kept == [0, 1, 2]
 
@@ -68,7 +68,7 @@ class TestValidators:
             [_cell("c"), _cell("d")],
             [_cell("e"), _cell("f")],
         ]
-        g = TB.fill_grid(rows)
+        g, _ = TB.fill_grid(rows)
         kept = TB.validate_rows(g, [2, 1, 2, 2])
         # sandwiched between good rows -> resurrected by W8; move it to
         # the edge and it stays dropped
@@ -77,7 +77,7 @@ class TestValidators:
             [_cell("a"), _cell("b")],
             [_cell("c"), _cell("d")],
         ]
-        g2 = TB.fill_grid(rows2)
+        g2, _ = TB.fill_grid(rows2)
         kept2 = TB.validate_rows(g2, [1, 2, 2])
         assert 0 not in kept2
         assert kept == [0, 1, 2, 3]
@@ -99,3 +99,45 @@ class TestHeaderOrientation:
             [("1.0", False), ("2.0", False)],
         ]
         assert TB.header_orientation(g) == "row"
+
+
+class TestGridBudget:
+    def test_colspan_bomb_bounded(self):
+        """ADVICE r1 (high): one colspan=64 mega-row + 2000 thin rows
+        must expand to <= MAX_GRID_CELLS, flagged truncated — not 2GB."""
+        import document_extraction_service_spark.extract.tables as TB
+        rows = [[("x", False, 64, 1)] * 2000] + [[("y", False, 1, 1)]] * 2000
+        g, trunc = TB.fill_grid(rows)
+        assert trunc
+        assert sum(len(r) for r in g) <= TB.MAX_GRID_CELLS
+
+    def test_mega_row_cell_counter(self):
+        """htmlparse per-table cell budget counts cells INSIDE a single
+        row (old guard only counted flushed rows)."""
+        from document_extraction_service_spark.htmlparse import (
+            parse_html, MAX_CELLS_PER_TABLE,
+        )
+        row = "<tr>" + "<td>c</td>" * (MAX_CELLS_PER_TABLE + 500) + "</tr>"
+        parsed = parse_html(f"<html><body><table>{row}</table></body></html>".encode())
+        assert parsed.truncated
+        assert sum(len(r) for r in parsed.tables[0].rows) <= MAX_CELLS_PER_TABLE
+
+    def test_small_tables_not_truncated(self):
+        import document_extraction_service_spark.extract.tables as TB
+        g, trunc = TB.fill_grid([[("a", True, 2, 1)], [("b", False, 1, 2), ("c", False, 1, 1)]])
+        assert not trunc
+        assert g[0] == [("a", True), ("a", True)]
+
+    def test_caption_without_replacement(self):
+        """J2: two caption-less tables after one 'Table 1: ...' block —
+        only the FIRST table gets the caption."""
+        from document_extraction_service_spark.extract.pipeline import extract_document
+        tbl = "<table><tr><th>h1</th><th>h2</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        html = (
+            "<html><body><h1>T</h1><p>Table 1: shared caption candidate.</p>"
+            f"{tbl}{tbl}</body></html>"
+        ).encode()
+        tables = extract_document(html, "http://x/t", "en")["extraction"]["tables"]
+        assert len(tables) == 2
+        descs = [t["description"] for t in tables]
+        assert descs.count("Table 1: shared caption candidate.") == 1
