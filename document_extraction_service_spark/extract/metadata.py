@@ -37,9 +37,16 @@ def extract_metadata(parsed, chapters, title_guess, lang_hint):
 
     lang = parsed.html_lang or (lang_hint or "")
 
-    scan = "\n".join(b.text for b in parsed.blocks)[:DOI_SCAN_CHARS]
-    dois = X.DOI_RE.findall(scan)
-    doi = max(dois, key=len).rstrip(".,;") if dois else None
+    # document DOI: explicit citation_doi meta wins; else the longest
+    # body-text match (O5, metadata_api.py:187-210) — excluding <cite>
+    # reference strings so a cited work's DOI can't shadow the page's
+    doi = (meta.get("citation_doi") or meta.get("doi") or "").strip() or None
+    if not doi:
+        cite_set = set(parsed.cites)
+        scan = "\n".join(b.text for b in parsed.blocks if b.text not in cite_set)
+        scan = scan[:DOI_SCAN_CHARS]
+        dois = X.DOI_RE.findall(scan)
+        doi = max(dois, key=len).rstrip(".,;") if dois else None
 
     publisher = meta.get("og:site_name") or meta.get("publisher") or None
 
@@ -67,11 +74,61 @@ def extract_metadata(parsed, chapters, title_guess, lang_hint):
                 description = b.text[m.end():][:DESCRIPTION_MAX_CHARS]
                 break
 
+    # journal / issn / subtitle parity (reference MetaData,
+    # datamodels.py:48-69 — Crossref-derived there, harvested from
+    # on-page Highwire/citation_* meta tags here)
+    journal = meta.get("citation_journal_title") or meta.get("journal") or None
+    issn = meta.get("citation_issn") or meta.get("issn") or None
+    subtitle = meta.get("citation_subtitle") or meta.get("subtitle") or None
+
+    references = _references(parsed)
+
     return {
         "title": title or None,
+        "subtitle": subtitle,
         "authors": authors,
         "lang": lang or None,
         "doi": doi,
         "publisher": publisher,
+        "journal": journal,
+        "issn": issn,
         "description": description,
+        "references": references,
     }
+
+
+# citation_reference meta content is ';'-separated k=v pairs
+# (Highwire convention): citation_title=...;citation_doi=...
+_REF_KV_RE = re.compile(r"\s*citation_([a-z_]+)\s*=\s*([^;]*)")
+
+
+def _references(parsed) -> list[dict]:
+    """On-page reference harvest (reference Reference model,
+    datamodels.py:60-64): repeatable citation_reference meta tags,
+    then <cite> elements.  DOI per entry via the X1 regex; title is
+    the citation_title pair when present, else the raw string minus
+    its DOI."""
+    out = []
+    seen = set()
+    for raw in parsed.meta.get("__refs__", []):
+        kv = dict(_REF_KV_RE.findall(raw)) if "citation_" in raw else {}
+        title = (kv.get("title") or "").strip() or None
+        doi_m = X.DOI_RE.findall(kv.get("doi") or raw)
+        doi = max(doi_m, key=len).rstrip(".,;") if doi_m else None
+        key = (doi, title or raw)
+        if key not in seen:
+            seen.add(key)
+            out.append({"doi": doi, "title": title, "raw": raw})
+    for raw in parsed.cites:
+        doi_m = X.DOI_RE.findall(raw)
+        doi = max(doi_m, key=len).rstrip(".,;") if doi_m else None
+        title = raw
+        if doi:
+            title = raw.replace(doi, "")
+            title = re.sub(r"\bdoi:?\s*$", "", title.strip(" .,;:()[]").strip())
+            title = title.strip(" .,;:()[]") or None
+        key = (doi, title or raw)
+        if key not in seen:
+            seen.add(key)
+            out.append({"doi": doi, "title": title, "raw": raw})
+    return out

@@ -27,8 +27,9 @@ _EMPTY_EXTRACTION = {
     "tables": [],
     "images": [],
     "metadata": {
-        "title": None, "authors": [], "lang": None,
-        "doi": None, "publisher": None, "description": None,
+        "title": None, "subtitle": None, "authors": [], "lang": None,
+        "doi": None, "publisher": None, "journal": None, "issn": None,
+        "description": None, "references": [],
     },
 }
 

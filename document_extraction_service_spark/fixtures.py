@@ -316,16 +316,40 @@ def _page_metadata(rng: random.Random, host: str, lang: str) -> tuple[str, str, 
         f'<meta name="description" content="{abstract[:120]}">'
         if rng.random() < 0.5 else ""
     )
+    # citation_* meta tags + <cite> references (metadata parity with
+    # the reference MetaData model, datamodels.py:48-69)
+    journal = f"{host.split('.')[0].title()} Journal of Tribology"
+    issn = f"{rng.randint(1000, 9999)}-{rng.randint(1000, 9999)}"
+    cite_metas = (
+        f'<meta name="citation_journal_title" content="{journal}">'
+        f'<meta name="citation_issn" content="{issn}">'
+    )
+    refs_html = ""
+    if rng.random() < 0.6:
+        n_refs = rng.randint(1, 3)
+        ref_items = []
+        for _ in range(n_refs):
+            rt = _title(rng, bank)
+            rdoi = f"10.{rng.randint(1000, 99999)}/ref.{rng.randint(100000, 999999)}"
+            if rng.random() < 0.5:
+                cite_metas += (
+                    f'<meta name="citation_reference" '
+                    f'content="citation_title={rt};citation_doi={rdoi}">'
+                )
+            else:
+                ref_items.append(f"<li><cite>{rt}. doi:{rdoi}</cite></li>")
+        if ref_items:
+            refs_html = f"<h2>References</h2><ul>{''.join(ref_items)}</ul>"
     html = (
         f'<!DOCTYPE html><html lang="{lang or "en"}"><head><meta charset="utf-8">'
         f"<title>{title}</title>{metas}"
         f'<meta property="og:title" content="{title}">'
         f'<meta property="og:site_name" content="{host.split(".")[0].title()} Press">'
-        f"{desc_meta}"
+        f"{desc_meta}{cite_metas}"
         f"</head><body>{_nav_block(host)}<main><h1>{title}</h1>"
         f"{abs_html}"
         f"<p>Published under doi:{doi} by the journal consortium.</p>"
-        f"{body}</main>{_footer_block(host)}</body></html>"
+        f"{body}{refs_html}</main>{_footer_block(host)}</body></html>"
     )
     return html, f"{title} {abstract} {crawl}", title
 

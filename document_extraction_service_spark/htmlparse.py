@@ -49,6 +49,7 @@ _SKIP_TAGS = frozenset("script style noscript template svg iframe object".split(
 _CHROME_TAGS = frozenset("nav footer aside".split())
 _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 _VOID_TAGS = frozenset("br img meta link input hr area base col embed source track wbr".split())
+MAX_CITES = 256  # <cite> harvest cap (references parity, datamodels.py:60-64)
 
 
 @dataclass
@@ -85,6 +86,7 @@ class ParseResult:
     tables: list
     figures: list
     meta: dict
+    cites: list  # <cite> element texts, document order (refs source)
     html_lang: str
     title: str
     truncated: bool
@@ -139,6 +141,7 @@ class _BlockParser(HTMLParser):
         self.tables: list[TableCap] = []
         self.figures: list[FigureCap] = []
         self.meta: dict[str, str] = {}
+        self.cites: list[str] = []
         self.html_lang = ""
         self.title_parts: list[str] = []
         self.truncated = False
@@ -160,6 +163,7 @@ class _BlockParser(HTMLParser):
         # figure state
         self._fig: dict | None = None
         self._in_figcaption = False
+        self._cite_parts: list[str] | None = None
 
     # -- helpers -----------------------------------------------------------
     def _flush(self) -> None:
@@ -228,6 +232,11 @@ class _BlockParser(HTMLParser):
                     prev = self.meta.get("__authors__", [])
                     prev.append(ad["content"].strip())
                     self.meta["__authors__"] = prev
+                elif key == "citation_reference":
+                    prev = self.meta.get("__refs__", [])
+                    if len(prev) < MAX_CITES:
+                        prev.append(ad["content"].strip())
+                    self.meta["__refs__"] = prev
                 elif key not in self.meta:
                     self.meta[key] = ad["content"].strip()
             return
@@ -264,6 +273,8 @@ class _BlockParser(HTMLParser):
                 self._buf_heading = 0
                 self._buf_tag = tag
 
+        if tag == "cite":
+            self._cite_parts = []
         if tag == "a":
             self._link_depth += 1
         elif tag in ("b", "strong"):
@@ -330,6 +341,11 @@ class _BlockParser(HTMLParser):
             if tag in _HEADINGS:
                 self._buf_heading = 0
                 self._buf_tag = "p"
+        if tag == "cite" and self._cite_parts is not None:
+            text = _norm_ws("".join(self._cite_parts))
+            if text and len(self.cites) < MAX_CITES:
+                self.cites.append(text)
+            self._cite_parts = None
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
         elif tag in ("b", "strong"):
@@ -384,6 +400,8 @@ class _BlockParser(HTMLParser):
             self._buf_link_chars += len(_norm_ws(data))
         if self._bold_depth > 0:
             self._buf_bold_chars += len(_norm_ws(data))
+        if self._cite_parts is not None:
+            self._cite_parts.append(data)
 
 
 # ---------------------------------------------------------------------------
@@ -511,6 +529,7 @@ def parse_html(raw: bytes, engine: str = "fast") -> ParseResult:
         tables=[t for t in p.tables if t.rows],
         figures=p.figures,
         meta=p.meta,
+        cites=p.cites,
         html_lang=p.html_lang,
         title=_norm_ws("".join(p.title_parts)),
         truncated=truncated or p.truncated,

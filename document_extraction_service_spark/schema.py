@@ -82,17 +82,32 @@ IMAGE = T.StructType(
     ]
 )
 
+# reference: Reference (datamodels.py:60-64) minus per-reference author
+# splitting (a Crossref enrichment); raw keeps the on-page string.
+REFERENCE = T.StructType(
+    [
+        T.StructField("doi", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("raw", T.StringType(), True),
+    ]
+)
+
 METADATA = T.StructType(
     [
-        # reference: MetaData (datamodels.py:48-69) minus the Crossref-only
-        # fields (issn/journal/references need the network call excluded by
-        # SURVEY §2.1 S6); publisher/description harvested from meta tags.
+        # reference: MetaData (datamodels.py:48-69) minus the network-only
+        # Crossref call (SURVEY §2.1 S6): subtitle/journal/issn/references
+        # are harvested from on-page citation_* meta tags and <cite>
+        # elements; publisher/description from meta/OpenGraph tags.
         T.StructField("title", T.StringType(), True),
+        T.StructField("subtitle", T.StringType(), True),
         T.StructField("authors", T.ArrayType(T.StringType()), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("doi", T.StringType(), True),
         T.StructField("publisher", T.StringType(), True),
+        T.StructField("journal", T.StringType(), True),
+        T.StructField("issn", T.StringType(), True),
         T.StructField("description", T.StringType(), True),
+        T.StructField("references", T.ArrayType(REFERENCE), True),
     ]
 )
 

@@ -178,3 +178,36 @@ def test_header_style_invariance():
     assert chapters["bold"] == chapters["h2"] == chapters["bare"] == [
         "1. Introduction", "2. Results"
     ]
+
+
+def test_metadata_parity_fields():
+    """journal/issn/subtitle/references harvested from on-page
+    citation_* meta tags and <cite> elements (reference MetaData,
+    datamodels.py:48-69)."""
+    html = b"""<html><head><title>T</title>
+    <meta name="citation_journal_title" content="J. of Testing">
+    <meta name="citation_issn" content="1234-5678">
+    <meta name="citation_subtitle" content="A Subtitle">
+    <meta name="citation_reference" content="citation_title=Deep Blue;citation_doi=10.1000/xyz.1">
+    </head><body><h1>T</h1>
+    <p>Published under doi:10.5000/self.9 with enough words to stay content.</p>
+    <h2>References</h2>
+    <ul><li><cite>Red Sea Study. doi:10.2000/abc.2</cite></li>
+    <li><cite>Uncited plain title</cite></li></ul>
+    </body></html>"""
+    m = _doc(html)["metadata"]
+    assert m["journal"] == "J. of Testing"
+    assert m["issn"] == "1234-5678"
+    assert m["subtitle"] == "A Subtitle"
+    assert m["doi"] == "10.5000/self.9"  # cite DOIs never shadow the page DOI
+    refs = {(r["doi"], r["title"]) for r in m["references"]}
+    assert ("10.1000/xyz.1", "Deep Blue") in refs
+    assert ("10.2000/abc.2", "Red Sea Study") in refs
+    assert (None, "Uncited plain title") in refs
+
+
+def test_citation_doi_meta_wins():
+    html = b"""<html><head><meta name="citation_doi" content="10.9999/meta.1">
+    </head><body><h1>T</h1><p>Mentions doi:10.1/other.2 in passing with many words here.</p>
+    </body></html>"""
+    assert _doc(html)["metadata"]["doi"] == "10.9999/meta.1"
