@@ -62,6 +62,67 @@ def _header_like(blocks, k) -> bool:
     return False
 
 
+def _merge_fuzzy_groups(groups: dict[str, list[int]]) -> None:
+    """O7 true fuzzy semantics (reference get_textual_duplicates,
+    text_models.py:356-374): near-identical keys — Levenshtein ratio
+    > 95, the deterministic X9 stand-in for fuzz.ratio — collapse into
+    one group, so boilerplate variants differing by a counter or date
+    ("3 comments" / "4 comments") dedup like exact matches.
+
+    Candidate pairs are limited to keys within the feasible length
+    window, scanned in sorted order under a fixed comparison budget:
+    an adversarial page with thousands of same-length unique keys
+    degrades to exact-key behaviour (deterministically — the budget
+    cuts the same pairs every run), never to O(n^2) wall time."""
+    keys = sorted((k for k in groups if k), key=lambda k: (len(k), k))
+    if len(keys) < 2:
+        return
+    parent = {k: k for k in keys}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # char-multiset counts per key: sum |count_a(c) - count_b(c)| lower-
+    # bounds the weighted edit distance (each indel moves one count at
+    # cost 1, each substitution moves two at cost 2), so most distinct
+    # pairs are pruned in O(alphabet) without touching the DP
+    cnts = [Counter(k) for k in keys]
+    budget = X.FUZZY_MAX_COMPARISONS
+    for i, a in enumerate(keys):
+        if budget <= 0:
+            break
+        ca = cnts[i]
+        la = len(a)
+        for j in range(i + 1, len(keys)):
+            b = keys[j]
+            if len(b) - la > X._FUZZY_MAX_K:
+                break  # keys sorted by length: no further candidate
+            kmax = (la + len(b) - 1) // 20
+            if len(b) - la > kmax:
+                continue
+            cb = cnts[j]
+            d_lb = sum(abs(n - cb.get(ch, 0)) for ch, n in ca.items())
+            d_lb += sum(n for ch, n in cb.items() if ch not in ca)
+            if d_lb > kmax:
+                continue
+            budget -= 1
+            if X.fuzzy_close(a, b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+            if budget <= 0:
+                break
+    for k in keys:
+        r = find(k)
+        if r != k:
+            groups[r].extend(groups.pop(k))
+    for idxs in groups.values():
+        idxs.sort()
+
+
 def classify_blocks(blocks) -> list[str]:
     """Label each block: 'content' | 'heading' | 'title' | 'drop'.
 
@@ -80,6 +141,7 @@ def classify_blocks(blocks) -> list[str]:
     fuzzy_groups: dict[str, list[int]] = {}
     for k, b in enumerate(blocks):
         fuzzy_groups.setdefault(X.fuzzy_key(b.text), []).append(k)
+    _merge_fuzzy_groups(fuzzy_groups)
     fuzzy_drop = set()
     for key, idxs in fuzzy_groups.items():
         if key and len(idxs) >= 2:

@@ -122,6 +122,70 @@ def fuzzy_key(s: str) -> str:
     return head[:FUZZY_KEY_LEN] + tail[-FUZZY_KEY_LEN:]
 
 
+# --- O7 fuzzy similarity (reference X9 fuzz.ratio, text_models.py:360-364) --
+# fuzz.ratio > 95 made deterministic: fuzz.ratio is
+# 100*(lensum - d2)/lensum where d2 is the edit distance with
+# SUBSTITUTION COST 2 (indels cost 1) — equivalently 100*2M/lensum for
+# M matched chars.  The sub-cost-2 weighting matters: with plain
+# Levenshtein, "1introduction"/"4introduction" (one substituted digit)
+# would merge, but fuzz.ratio gives 92.3 — distinct numbered headers
+# must survive.  Accept iff d2*20 < lensum.  Banded DP with early exit
+# keeps each comparison O(k*len); a per-document comparison budget
+# bounds adversarial pages (beyond it the dedup degrades to exact-key
+# equality — deterministic, never O(n^2) blowup).
+FUZZY_MAX_COMPARISONS = 1_000
+# max accepted distance: keys are <= 2*FUZZY_KEY_LEN chars, so
+# lensum <= 4*FUZZY_KEY_LEN and d2 < lensum/20
+_FUZZY_MAX_K = (4 * FUZZY_KEY_LEN - 1) // 20
+
+
+def lev_capped(a: str, b: str, k: int) -> int:
+    """Edit distance with substitution cost 2 (the fuzz.ratio metric),
+    capped: returns k+1 as soon as the true distance exceeds k
+    (banded DP, O(k*min(len)))."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > k:
+        return k + 1
+    if a == b:
+        return 0
+    prev = list(range(lb + 1))
+    big = k + 1
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        cur[0] = i
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        best = big
+        ai = a[i - 1]
+        for j in range(lo, hi + 1):
+            c = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if ai == b[j - 1] else 2),
+            )
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > k:
+            return big
+        prev = cur
+    return min(prev[lb], big)
+
+
+def fuzzy_close(a: str, b: str) -> bool:
+    """True iff fuzz.ratio(a, b) > 95 (reference confidence,
+    text_models.py:339)."""
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        return True
+    kmax = (lensum - 1) // 20  # d2*20 < lensum
+    if abs(len(a) - len(b)) > kmax:
+        return False
+    return lev_capped(a, b, kmax) <= kmax
+
+
 # --- dehyphenation (reference W3, internal_models.py:492-515) --------------
 # soft hyphen followed by optional space then a lowercase letter: the two
 # word halves are fused; any remaining soft hyphens are dropped.

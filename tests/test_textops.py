@@ -162,7 +162,12 @@ def test_abstract_anchor_paragraph_grows_description():
 def test_header_style_invariance():
     """The same document rendered with h2 / bold-only / bare-keyword
     headers must extract the same text and chapter structure."""
-    sections = [("1. Introduction", "Alpha " + LONG), ("2. Results", "Beta " + LONG)]
+    # paragraphs must be genuinely distinct: O7 fuzzy dedup collapses
+    # blocks whose first/last-50-char keys are >95% similar
+    sections = [
+        ("1. Introduction", LONG),
+        ("2. Results", "The measured wear rate dropped by half when the coating was annealed twice."),
+    ]
     variants = {
         "h2": "".join(f"<h2>{h}</h2><p>{p}</p>" for h, p in sections),
         "bold": "".join(f"<p><b>{h}</b></p><p>{p}</p>" for h, p in sections),
@@ -211,3 +216,55 @@ def test_citation_doi_meta_wins():
     </head><body><h1>T</h1><p>Mentions doi:10.1/other.2 in passing with many words here.</p>
     </body></html>"""
     assert _doc(html)["metadata"]["doi"] == "10.9999/meta.1"
+
+
+# --- O7 true fuzzy dedup (reference text_models.py:356-374) -----------------
+
+def test_fuzzy_counter_variants_collapse():
+    """'3 comments' vs '4 comments' boilerplate differs by one digit —
+    ratio > 95 — and must dedup to the longest (here: first) variant."""
+    row = "Read the discussion - {} comments below the fold line here"
+    html = (
+        f"<html><body><h1>T</h1><p>{LONG}</p>"
+        f"<p>{row.format(3)}</p><p>{LONG} Two.</p>"
+        f"<p>{row.format(4)}</p><p>{LONG} Three.</p></body></html>"
+    ).encode()
+    t = _doc(html)["extracted_text"]
+    assert "3 comments" in t
+    assert "4 comments" not in t
+
+
+def test_fuzzy_distinct_content_survives():
+    a = "The experiment used a pin-on-disc tribometer at constant load."
+    b = "The simulation used a finite-element contact model at high load."
+    html = f"<html><body><h1>T</h1><p>{a}</p><p>{b}</p></body></html>".encode()
+    t = _doc(html)["extracted_text"]
+    assert a in t and b in t
+
+
+def test_lev_capped_and_fuzzy_close():
+    from document_extraction_service_spark.extract import textops as X
+    assert X.lev_capped("kitten", "sitting", 9) == 5   # 2 subs (cost 2) + 1 ins
+    assert X.lev_capped("abc", "abc", 2) == 0
+    assert X.lev_capped("abcdef", "zzzzzz", 2) == 3          # capped at k+1
+    # numbered headers differ by ONE substituted digit: fuzz.ratio 92.3,
+    # below the 95 confidence -> must NOT be fuzzy-close
+    assert not X.fuzzy_close("1introduction", "4introduction")
+    assert X.fuzzy_close("a" * 50 + "3comments", "a" * 50 + "4comments")
+    assert not X.fuzzy_close("completely different", "unrelated text here")
+    assert X.fuzzy_close("", "")
+
+
+def test_fuzzy_budget_is_deterministic():
+    """Adversarial page (thousands of distinct same-length keys) must
+    stay fast and produce identical output across runs."""
+    import random, time
+    rnd = random.Random(7)
+    blocks = "".join(
+        f"<p>qq{rnd.randrange(10**8):08d}qq padded words here now</p>" for _ in range(2000)
+    )
+    html = f"<html><body>{blocks}</body></html>".encode()
+    t0 = time.time()
+    out1 = _doc(html)["extracted_text"]
+    assert time.time() - t0 < 2
+    assert out1 == _doc(html)["extracted_text"]
