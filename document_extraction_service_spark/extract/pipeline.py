@@ -15,7 +15,7 @@ SURVEY §5.2 item 3).
 
 from __future__ import annotations
 
-from ..htmlparse import parse_html
+from ..htmlparse import _norm_ws, parse_html
 from .images import extract_images
 from .metadata import extract_metadata
 from .tables import extract_tables
@@ -34,13 +34,24 @@ _EMPTY_EXTRACTION = {
 }
 
 
-def extract_document(html: bytes | None, url: str, lang_hint: str | None) -> dict:
+def extract_document(
+    html: bytes | None, url: str, lang_hint: str | None,
+    text: str | None = None,
+) -> dict:
     """-> {'extraction': ..., 'status': ...} matching schema.RESULT.
 
     Never raises: adversarial rows produce status.ok=False with the
     error captured (the reference silently 500s its background task on
-    a bad PDF; SURVEY §7.4 #3 requires capture instead)."""
+    a bad PDF; SURVEY §7.4 #3 requires capture instead).
+
+    When the html payload is null/empty but the crawl-provided `text`
+    column carries content (common at Common-Crawl scale: WAT-only
+    records, fetch truncation), the text passes through as the
+    extraction — flagged status.fallback so downstream can segregate
+    rows that never saw the DOM pipeline."""
     try:
+        if (html is None or not html.strip()) and text and text.strip():
+            return _text_fallback(text, lang_hint)
         parsed = parse_html(html)
         labels = classify_blocks(parsed.blocks)
         extracted_text, chapters, offsets, title_guess = build_text(
@@ -61,6 +72,7 @@ def extract_document(html: bytes | None, url: str, lang_hint: str | None) -> dic
                 "ok": True,
                 "error": None,
                 "truncated": bool(parsed.truncated or tables_truncated),
+                "fallback": False,
                 "n_blocks": len(parsed.blocks),
                 "n_tables": len(tables),
                 "n_images": len(images),
@@ -73,8 +85,40 @@ def extract_document(html: bytes | None, url: str, lang_hint: str | None) -> dic
                 "ok": False,
                 "error": f"{type(e).__name__}: {e}"[:500],
                 "truncated": False,
+                "fallback": False,
                 "n_blocks": 0,
                 "n_tables": 0,
                 "n_images": 0,
             },
         }
+
+
+def _text_fallback(text: str, lang_hint: str | None) -> dict:
+    """Null-html row with crawl text: pass the text through (one
+    paragraph per non-empty line, whitespace-normalized) — no DOM
+    pipeline ran, so no tables/images/metadata beyond the lang hint."""
+    lines = [_norm_ws(l) for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    meta = dict(_EMPTY_EXTRACTION["metadata"])
+    meta["lang"] = lang_hint or None
+    return {
+        "extraction": {
+            "extracted_text": "\n".join(lines),
+            "chapters": [
+                {"header": None,
+                 "paragraphs": [{"sentences": [l]} for l in lines]}
+            ] if lines else [],
+            "tables": [],
+            "images": [],
+            "metadata": meta,
+        },
+        "status": {
+            "ok": True,
+            "error": None,
+            "truncated": False,
+            "fallback": True,
+            "n_blocks": len(lines),
+            "n_tables": 0,
+            "n_images": 0,
+        },
+    }

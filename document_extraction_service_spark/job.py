@@ -155,7 +155,7 @@ def run_job(
     # lineage aggregation over the committed output instead (a
     # column-pruned second scan that reads only bucket + status).
     extracted = (
-        pages.select("url", "warc_ts", "html", "lang", "bucket")
+        pages.select("url", "warc_ts", "html", "lang", "text", "bucket")
         .withColumn("_res", extraction_col())
         .select(
             "url",

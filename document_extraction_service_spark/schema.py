@@ -126,6 +126,9 @@ STATUS = T.StructType(
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
         T.StructField("truncated", T.BooleanType(), False),
+        # crawl-text fallback used (html payload null/empty but the
+        # crawl-provided text column carried content)
+        T.StructField("fallback", T.BooleanType(), False),
         T.StructField("n_blocks", T.IntegerType(), False),
         T.StructField("n_tables", T.IntegerType(), False),
         T.StructField("n_images", T.IntegerType(), False),

@@ -27,10 +27,13 @@ from .schema import RESULT
 
 @F.pandas_udf(RESULT)
 def extract_struct_udf(
-    it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.DataFrame]:
-    for html, url, lang in it:
-        res = [extract_document(h, u, l) for h, u, l in zip(html, url, lang)]
+    for html, url, lang, text in it:
+        res = [
+            extract_document(h, u, l, t)
+            for h, u, l, t in zip(html, url, lang, text)
+        ]
         yield pd.DataFrame(
             {
                 "extraction": [r["extraction"] for r in res],
@@ -40,9 +43,12 @@ def extract_struct_udf(
 
 
 def extraction_col(html: str | Column = "html", url: str | Column = "url",
-                   lang: str | Column = "lang") -> Column:
-    """Column expression: parse+extract -> RESULT struct (Arrow-direct)."""
-    return extract_struct_udf(html, url, lang)
+                   lang: str | Column = "lang",
+                   text: str | Column = "text") -> Column:
+    """Column expression: parse+extract -> RESULT struct (Arrow-direct).
+    `text` is the crawl-provided plain text, used only as the
+    null-html fallback (status.fallback)."""
+    return extract_struct_udf(html, url, lang, text)
 
 
 def with_extraction(df: DataFrame) -> DataFrame:
@@ -55,7 +61,7 @@ def with_extraction(df: DataFrame) -> DataFrame:
         "url",
         "warc_ts",
         extraction_col().alias("_res"),
-    ).select(
+    ).select(  # noqa: E501 — heavy html/text consumed in the projection above
         "url",
         "warc_ts",
         F.col("_res.extraction").alias("extraction"),

@@ -268,3 +268,20 @@ def test_fuzzy_budget_is_deterministic():
     out1 = _doc(html)["extracted_text"]
     assert time.time() - t0 < 2
     assert out1 == _doc(html)["extracted_text"]
+
+
+def test_text_fallback_on_null_html():
+    from document_extraction_service_spark.extract.pipeline import extract_document
+    r = extract_document(None, "http://x/n", "de", "Line one here.\n\n  Line   two.  ")
+    assert r["status"]["ok"] and r["status"]["fallback"]
+    assert r["extraction"]["extracted_text"] == "Line one here.\nLine two."
+    assert r["extraction"]["metadata"]["lang"] == "de"
+    # html present -> DOM pipeline, no fallback
+    r2 = extract_document(b"<p>Real html body with enough words to be kept.</p>",
+                          "http://x/h", "en", "ignored crawl text")
+    assert not r2["status"]["fallback"]
+    assert "Real html body" in r2["extraction"]["extracted_text"]
+    # both empty -> ok, empty, not fallback
+    r3 = extract_document(b"", "http://x/e", "en", "   ")
+    assert r3["status"]["ok"] and not r3["status"]["fallback"]
+    assert r3["extraction"]["extracted_text"] == ""
