@@ -140,6 +140,148 @@ def image_features(media: DataFrame, use_fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("magic", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_s", T.DoubleType(), True),
+        T.StructField("frame_digest", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+FRAME_FPS = 24          # fake container framerate
+MAX_FRAMES_PER_VIDEO = 64  # output bound per input row (scale contract)
+
+
+def _decode_audio_real(payload: bytes):  # pragma: no cover - stub
+    raise DecodeUnavailable("audio codecs not installed in this environment")
+
+
+def _decode_video_real(payload: bytes):  # pragma: no cover - stub
+    raise DecodeUnavailable("video codecs not installed in this environment")
+
+
+def _fake_audio_features(payload: bytes) -> tuple[int, float, float]:
+    """DETERMINISTIC FAKE audio decode (same contract as
+    _fake_image_features): sample_rate/duration/rms from a stable
+    digest + payload length — NOT real samples."""
+    import hashlib
+
+    d = hashlib.md5(payload or b"").digest()
+    sample_rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+    # "duration" as if the blob were 16-bit mono PCM at that rate
+    duration_s = len(payload or b"") / (sample_rate * 2.0)
+    rms = d[2] / 255.0
+    return sample_rate, duration_s, rms
+
+
+def _fake_video_frames(payload: bytes) -> int:
+    """DETERMINISTIC FAKE frame count: 24..263 frames from the digest."""
+    import hashlib
+
+    d = hashlib.md5(payload or b"").digest()
+    return 24 + d[3] % 240
+
+
+def audio_features(media: DataFrame, use_fake_decode: bool = True) -> DataFrame:
+    """mapInPandas audio feature extraction — same plumbing contract as
+    image_features: bounded Arrow batches in, payload dropped before
+    anything crosses a shuffle, codec failure degrades to
+    decode_ok=false rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "kind", "n_bytes", "magic",
+                "sample_rate", "duration_s", "rms", "decode_ok", "decode_error",
+            )}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = payload or b""
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(payload))
+                out["magic"].append(sniff_magic(payload))
+                try:
+                    if use_fake_decode:
+                        sr, dur, rms = _fake_audio_features(payload)
+                    else:
+                        sr, dur, rms = _decode_audio_real(payload)
+                    out["sample_rate"].append(sr)
+                    out["duration_s"].append(dur)
+                    out["rms"].append(rms)
+                    out["decode_ok"].append(True)
+                    out["decode_error"].append(None)
+                except DecodeUnavailable as exc:
+                    out["sample_rate"].append(None)
+                    out["duration_s"].append(None)
+                    out["rms"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decode_error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_k: int = 8,
+                 use_fake_decode: bool = True) -> DataFrame:
+    """Video -> every k-th frame reference, one output row per sampled
+    frame.  The row-EXPANDING mapInPandas shape: output per input row
+    is bounded by MAX_FRAMES_PER_VIDEO so a pathological container can
+    never blow up a task, and frames carry digests — never pixel
+    payloads — across the shuffle boundary."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "ts_s", "frame_digest",
+                "decode_ok", "decode_error",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                try:
+                    if use_fake_decode:
+                        n_frames = _fake_video_frames(payload)
+                    else:
+                        n_frames = _decode_video_real(payload)
+                    idxs = range(0, n_frames, every_k)
+                    for fi in list(idxs)[:MAX_FRAMES_PER_VIDEO]:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(fi)
+                        out["ts_s"].append(fi / FRAME_FPS)
+                        out["frame_digest"].append(
+                            hashlib.md5(payload + fi.to_bytes(4, "big")).hexdigest()
+                        )
+                        out["decode_ok"].append(True)
+                        out["decode_error"].append(None)
+                except DecodeUnavailable as exc:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(-1)
+                    out["ts_s"].append(None)
+                    out["frame_digest"].append(None)
+                    out["decode_ok"].append(False)
+                    out["decode_error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_from_pages(spark: SparkSession, n: int = 300) -> DataFrame:
     """Build a media table from the synthetic corpus: the html payload
     stands in as the opaque blob (kind derived from url family)."""
@@ -171,5 +313,25 @@ def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"media_features": media_features_query}
+def media_audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: audio stage over the same synthetic blobs
+    (rows-only check)."""
+    return audio_features(media_from_pages(spark, 300)).select(
+        "media_id", "kind", "n_bytes", "magic",
+        "sample_rate", "duration_s", "rms", "decode_ok",
+    )
+
+
+def media_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: frame sampling over the synthetic 'video' blobs
+    (rows-only check; row-expanding stage)."""
+    media = media_from_pages(spark, 300).filter(F.col("kind") == "video")
+    return frame_sample(media, every_k=8)
+
+
+QUERIES = {
+    "media_features": media_features_query,
+    "media_audio_features": media_audio_features_query,
+    "media_frame_sample": media_frame_sample_query,
+}
 ORACLES: dict[str, str] = {}  # payloads synthesized in-Spark: rows-only

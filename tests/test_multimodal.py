@@ -52,3 +52,48 @@ def test_stubbed_decode_path_captured(spark):
     assert all("not installed" in r["decode_error"] for r in rows)
     # metadata still flows even when decode is unavailable
     assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_audio_features_end_to_end(spark):
+    media = MM.media_from_pages(spark, 40)
+    rows = MM.audio_features(media).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["decode_ok"] is True
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert r["duration_s"] >= 0 and 0 <= r["rms"] <= 1
+    assert "payload" not in MM.audio_features(media).columns
+
+
+def test_audio_real_decode_stubbed(spark):
+    media = MM.media_from_pages(spark, 5)
+    rows = MM.audio_features(media, use_fake_decode=False).collect()
+    assert all(not r["decode_ok"] and "codec" in r["decode_error"] for r in rows)
+
+
+def test_frame_sample_bounded_and_deterministic(spark):
+    media = MM.media_from_pages(spark, 30).filter(F.col("kind") == "video")
+    n_videos = media.count()
+    df = MM.frame_sample(media, every_k=8)
+    rows = df.collect()
+    assert n_videos > 0 and len(rows) >= n_videos
+    per = {}
+    for r in rows:
+        assert r["decode_ok"] is True
+        assert r["frame_idx"] % 8 == 0
+        assert abs(r["ts_s"] - r["frame_idx"] / MM.FRAME_FPS) < 1e-12
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in per.values():
+        assert len(idxs) <= MM.MAX_FRAMES_PER_VIDEO
+        assert len(set(idxs)) == len(idxs)
+    # deterministic across runs
+    again = {(r["media_id"], r["frame_idx"]): r["frame_digest"]
+             for r in MM.frame_sample(media, every_k=8).collect()}
+    assert again == {(r["media_id"], r["frame_idx"]): r["frame_digest"] for r in rows}
+
+
+def test_frame_sample_real_decode_stubbed(spark):
+    # 8 pages may contain no tabular/"video" rows; take a bigger slice
+    media = MM.media_from_pages(spark, 60).filter(F.col("kind") == "video").limit(5)
+    rows = MM.frame_sample(media, use_fake_decode=False).collect()
+    assert rows and all(not r["decode_ok"] and r["frame_idx"] == -1 for r in rows)
