@@ -47,6 +47,31 @@ def main() -> None:
         with open(path, "w", encoding="utf-8") as f:
             json.dump(doc, f, ensure_ascii=False, indent=1, sort_keys=True)
     print(f"wrote {len(pinned_ids())} goldens to {GOLDEN_DIR}")
+    write_corpus_invariants()
+
+
+def write_corpus_invariants(n: int = 500) -> None:
+    """Pin per-family corpus invariants (the extract_corpus oracle):
+    pure-Python replay of the same extract_document the Spark UDF runs,
+    over the same pure-(seed,i) corpus — so the pinned VALUES are an
+    engine-independent expectation, not a copy of Spark output."""
+    agg: dict[str, dict] = {}
+    for i in range(n):
+        row = fx.gen_page(i)
+        fam = fx.family_of(i)
+        res = extract_document(row["html"], row["url"], row["lang"], row["text"])
+        a = agg.setdefault(fam, dict(family=fam, n_docs=0, n_ok=0,
+                                     n_tables=0, n_images=0, sum_text_len=0))
+        a["n_docs"] += 1
+        a["n_ok"] += int(res["status"]["ok"])
+        a["n_tables"] += res["status"]["n_tables"]
+        a["n_images"] += res["status"]["n_images"]
+        a["sum_text_len"] += len(res["extraction"]["extracted_text"])
+    rows = [agg[k] for k in sorted(agg)]
+    path = os.path.join(GOLDEN_DIR, "corpus_invariants.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(rows, f, indent=1, sort_keys=True)
+    print(f"wrote corpus invariants ({len(rows)} families) to {path}")
 
 
 if __name__ == "__main__":
