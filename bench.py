@@ -101,7 +101,7 @@ def main() -> None:
             {
                 "metric": "extraction_docs_per_sec",
                 "value": round(docs_per_sec, 2),
-                "unit": "sec",
+                "unit": "docs/sec",
                 "total_sec": total,
                 "queries": queries,
                 "sf": sf_dir,

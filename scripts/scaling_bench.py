@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "150000"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 CORES = tuple(
-    int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
+    int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8,32").split(",")
 )
 
 
@@ -79,10 +79,9 @@ def hardware_control(procs: int, per: int = 1500) -> float:
 
 
 def main() -> None:
-    lo, hi = CORES
-    samples: dict[int, list[dict]] = {lo: [], hi: []}
+    samples: dict[int, list[dict]] = {c: [] for c in CORES}
     for rep in range(REPS):
-        for cores in (lo, hi):
+        for cores in CORES:  # interleaved: steal-time bursts hit all configs
             m = run_at(cores, N_PAGES, str(rep))
             samples[cores].append(m)
             print(
@@ -90,58 +89,73 @@ def main() -> None:
                 f"wall={m['wall_ms']}ms", flush=True,
             )
 
-    med_lo = statistics.median(m["docs_per_sec"] for m in samples[lo])
-    med_hi = statistics.median(m["docs_per_sec"] for m in samples[hi])
-    eff = (med_hi / med_lo) / (hi / lo)
+    med = {c: statistics.median(m["docs_per_sec"] for m in samples[c]) for c in CORES}
+    pairs = list(zip(CORES, CORES[1:]))  # (2,8), (8,32)
+    eff = {(a, b): (med[b] / med[a]) / (b / a) for a, b in pairs}
 
-    hw = {p: hardware_control(p) for p in (2, 8, 32)}
-    hw_28 = (hw[8] / hw[2]) / 4
-    hw_832 = (hw[32] / hw[8]) / 4
+    hw = {p: hardware_control(p) for p in CORES}
+    hw_eff = {(a, b): (hw[b] / hw[a]) / (b / a) for a, b in pairs}
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
-    rows_lo = ", ".join(f"{m['docs_per_sec']:.0f}" for m in samples[lo])
-    rows_hi = ", ".join(f"{m['docs_per_sec']:.0f}" for m in samples[hi])
+    cfg_rows = "\n".join(
+        f"| local[{c}] | {med[c]:.1f} | "
+        + ", ".join(f"{m['docs_per_sec']:.0f}" for m in samples[c]) + " |"
+        for c in CORES
+    )
+    pair_rows = "\n".join(
+        f"| local[{a}] -> local[{b}] | {eff[(a, b)]:.3f} | {hw_eff[(a, b)]:.2f} |"
+        for a, b in pairs
+    )
+    hw_rows = "\n".join(f"| {c} | {hw[c]:.0f} |" for c in CORES)
+    lo, hi = CORES[0], CORES[1]
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
 Protocol (BASELINE.md "sandbox evidence protocol"): the identical
 extraction job (`document_extraction_service_spark.job`, synthetic
-pages corpus, {N_PAGES} rows, seed=42) run at two parallelism levels
-(N={lo} and 4N={hi} cores) on the same input; docs/sec measured over
-the job wall clock (generate -> repartition by url-hash -> extract UDF
--> parquet write), excluding JVM/session startup.  {REPS} interleaved
-run pairs; per-config median reported; every sample listed.
+pages corpus, {N_PAGES} rows, seed=42) run at three parallelism levels
+on the same input; docs/sec measured over the job wall clock
+(generate -> repartition by url-hash -> extract UDF -> parquet write),
+excluding JVM/session startup.  {REPS} interleaved run triples;
+per-config median reported; every sample listed.
 
 | config | median docs/sec | samples (docs/sec) |
 |---|---|---|
-| local[{lo}]  (N)  | {med_lo:.1f} | {rows_lo} |
-| local[{hi}] (4N) | {med_hi:.1f} | {rows_hi} |
+{cfg_rows}
 
-**Scaling efficiency (N -> 4N) = (median_4N / median_N) / {hi // lo} = {eff:.3f}**
+Both N -> 4N pairs, next to the Spark-free hardware control (the same
+extract_document over the same corpus via multiprocessing — the box's
+own ceiling for this string/memory-bandwidth workload at that
+parallelism):
+
+| pair | engine efficiency | hardware ceiling |
+|---|---|---|
+{pair_rows}
+
+**Headline scaling efficiency (N={lo} -> 4N={hi}) =
+(median_4N / median_N) / {hi // lo} = {eff[(lo, hi)]:.3f}**
 (north_rule requirement: >= 0.8)
 
-## Why N={lo} -> 4N={hi} (and not 8 -> 32) on this box
+## Why the headline pair is {lo} -> {hi} on this box
 
-A Spark-free multiprocessing control (the same extract_document over
-the same corpus, no Spark at all) measures the VM's own ceiling for
-this string/memory-bandwidth-heavy workload:
+Hardware control throughput (no Spark at all):
 
 | procs | docs/sec (no Spark) |
 |---|---|
-| 2 | {hw[2]:.0f} |
-| 8 | {hw[8]:.0f} |
-| 32 | {hw[32]:.0f} |
+{hw_rows}
 
-hardware efficiency 2->8 = {hw_28:.2f}; 8->32 = {hw_832:.2f}.  At 32
-loaded vCPUs the box itself caps near {hw_832:.2f} per-core efficiency
-(memory bandwidth + hypervisor sharing; pure-arithmetic loops DO scale
-32-wide, so it is not a scheduler artifact), which no engine running
-on it can exceed.  The {lo}->{hi} pair keeps both configurations
-inside the box's parallel headroom, which is what the N->4N criterion
-models (4x the executors of a cluster, not 4x oversubscription of one
-host).  On a real multi-executor cluster each executor owns its own
-memory bandwidth, so the map-only job shape (url-hash bucketed input,
-zero payload shuffle, deterministic per-row UDF) scales with executor
-count by construction.
+At 32 loaded vCPUs the box itself caps near
+{hw_eff[(CORES[1], CORES[2])]:.2f} per-core efficiency (memory
+bandwidth + hypervisor sharing; pure-arithmetic loops DO scale
+32-wide, so it is not a scheduler artifact) — no engine running on it
+can exceed its own host.  The {lo}->{hi} pair keeps both
+configurations inside the box's parallel headroom, which is what the
+N->4N criterion models (4x the executors of a cluster, not 4x
+oversubscription of one host).  The 8->32 engine number is published
+above next to its hardware ceiling: the engine's ratio-to-ceiling is
+the meaningful quantity at that width.  On a real multi-executor
+cluster each executor owns its own memory bandwidth, so the map-only
+job shape (url-hash bucketed input, zero payload shuffle,
+deterministic per-row UDF) scales with executor count by construction.
 
 Generated {stamp} by scripts/scaling_bench.py.
 """
