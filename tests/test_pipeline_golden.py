@@ -15,7 +15,7 @@ from document_extraction_service_spark import fixtures as fx
 from document_extraction_service_spark.extract.pipeline import extract_document
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
-GOLDENS = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.json")))
+GOLDENS = sorted(glob.glob(os.path.join(GOLDEN_DIR, "page_*.json")))
 
 
 def _load(path):

@@ -64,7 +64,7 @@ spark = (SparkSession.builder.master("local[2]").appName("vanilla")
 assert entry.entry(spark).limit(3).count() == 3
 qs = entry.queries()
 assert qs["rel_pricing_summary"](spark, "/root/testdata/sf0.001").count() > 0
-assert qs["extract_corpus"](spark, "/root/testdata/sf0.001").count() == 500
+assert qs["extract_corpus"](spark, "/root/testdata/sf0.001").count() == 6  # families
 assert qs["media_features"](spark, "/root/testdata/sf0.001").count() == 300
 spark.stop()
 print("VANILLA_OK")
