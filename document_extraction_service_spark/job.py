@@ -200,7 +200,8 @@ def run_job(
         .agg(
             F.sum(F.col("status.ok").cast("long")).alias("n_ok"),
             F.sum((~F.col("status.ok")).cast("long")).alias("n_failed"),
-            F.sum(F.col("status.truncated").cast("long")).alias("_n_trunc"),
+            F.sum(F.col("status.truncated").cast("long")).alias("n_truncated"),
+            F.sum(F.col("status.fallback").cast("long")).alias("n_fallback"),
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("input_fingerprint", F.lit(fp))
@@ -208,16 +209,18 @@ def run_job(
         .withColumn("committed_at", F.lit(_dt.datetime.utcnow()))
         .select(
             "run_id", "bucket", "input_fingerprint",
-            "n_ok", "n_failed", "wall_ms", "committed_at", "_n_trunc",
+            "n_ok", "n_failed", "n_truncated", "n_fallback",
+            "wall_ms", "committed_at",
         )
     )
     lineage = lineage.cache()
     totals = lineage.agg(
         F.sum(F.col("n_ok") + F.col("n_failed")).alias("n_rows"),
         F.sum("n_ok").alias("n_ok"),
-        F.sum("_n_trunc").alias("n_truncated"),
+        F.sum("n_truncated").alias("n_truncated"),
+        F.sum("n_fallback").alias("n_fallback"),
     ).collect()[0]
-    lineage.drop("_n_trunc").write.mode("append").parquet(lineage_path)
+    lineage.write.mode("append").parquet(lineage_path)
     lineage.unpersist()
     lineage_ms = int((time.time() - t_written) * 1000)
 
@@ -228,6 +231,7 @@ def run_job(
         "n_rows": n_rows,
         "n_ok": int(totals["n_ok"] or 0),
         "n_truncated": int(totals["n_truncated"] or 0),
+        "n_fallback": int(totals["n_fallback"] or 0),
         "wall_ms": wall_ms,
         "plan_ms": int((t_plan - t0) * 1000),
         "write_ms": int((t_written - t_plan) * 1000),

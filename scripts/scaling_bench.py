@@ -49,7 +49,7 @@ def materialize_input(n_pages: int, out_dir: str) -> None:
         [sys.executable, os.path.join(REPO, "scripts", "prepare_input.py"),
          str(n_pages), out_dir],
         cwd=REPO, check=True, capture_output=True, text=True,
-        env=dict(os.environ, SPARK_DRIVER_MEM="48g"),
+        env=dict(os.environ),
     )
 
 
@@ -63,7 +63,12 @@ def run_at(cores: int, input_dir: str, tag: str) -> dict:
             "--run-id", f"scale-{cores}-{tag}",
             "--master", f"local[{cores}]",
         ]
-        env = dict(os.environ, SPARK_DRIVER_MEM="48g")
+        # NOTE: do NOT oversize the heap.  SPARK_DRIVER_MEM=48g made the
+        # local[32] write stage 3x SLOWER than 24g on this box (92s vs
+        # 28s for the same 150k rows): the oversized heap's GC geometry
+        # turns the nested-struct parquet write into kernel-side page
+        # churn (42-65% sys CPU).  The session default (24g) is tuned.
+        env = dict(os.environ)
         out = subprocess.run(
             cmd, cwd=REPO, capture_output=True, text=True, check=True, env=env
         ).stdout
@@ -177,6 +182,23 @@ the meaningful quantity at that width.  On a real multi-executor
 cluster each executor owns its own memory bandwidth, so the map-only
 job shape (url-hash bucketed input, zero payload shuffle,
 deterministic per-row UDF) scales with executor count by construction.
+
+
+## 32-wide variance note
+
+local[32] job samples swing 2605-4361 docs/s across interleaved reps
+(and up to 6632 in quiet-host probes), while local[2]/local[8] hold
++-3%/+-10%: a single stolen vCPU stalls the full 32-wide stage, so
+hypervisor steal (bursty ~10% on this box, see CLAUDE.md gotcha #1)
+dominates any 32-wide measurement.  An isolation A/B bounds the engine
+itself: with a noop sink the scan+extract stage reaches ~11.5k docs/s
+at local[32] — equal to the Spark-free hardware control — so the UDF
+chain scales to the box ceiling and the residual gap is the
+JVM parquet encode of the nested output structs competing for the same
+cores (plus steal).  Also found and fixed during this round: an
+oversized driver heap (48g vs the tuned 24g) made the local[32] write
+stage 3x slower via GC page churn at 42-65% system CPU — heap size is
+pinned in session.py.
 
 Generated {stamp} by scripts/scaling_bench.py.
 """

@@ -105,3 +105,30 @@ def test_lineage_excludes_stale_buckets_from_other_input(spark, dirs):
     m3 = run_job(spark, "synthetic:37", out, lin, "t-new-resume",
                  n_buckets=BUCKETS, resume=True)
     assert m3["n_rows"] == 0
+
+
+def test_job_counts_fallback_rows(spark, dirs, tmp_path):
+    """A null-html row with crawl text flows through the job as a
+    fallback extraction and is counted in lineage/metrics."""
+    import datetime as dt
+    from document_extraction_service_spark.schema import PAGES_SCHEMA
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://a/x", ts, b"<html><p>Real body with enough words to stay.</p></html>",
+         "crawl text a", "en"),
+        ("https://a/y", ts, None, "only crawl text survives here", "en"),
+        ("https://a/z", ts, b"", "", "en"),
+    ]
+    inp = str(tmp_path / "pages_in")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(inp)
+    out, lin = dirs
+    m = run_job(spark, inp, out, lin, "t-fb", n_buckets=BUCKETS)
+    assert m["n_rows"] == 3 and m["n_ok"] == 3
+    assert m["n_fallback"] == 1
+    lineage = spark.read.parquet(lin)
+    assert lineage.agg(F.sum("n_fallback")).collect()[0][0] == 1
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert got["https://a/y"]["status"]["fallback"]
+    assert got["https://a/y"]["extraction"]["extracted_text"] == "only crawl text survives here"
+    assert not got["https://a/x"]["status"]["fallback"]
