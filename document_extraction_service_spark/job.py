@@ -38,7 +38,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schema import PAGES_SCHEMA
+from .schema import PAGES_SCHEMA, bucketed_pages_schema
 from .udfs import extraction_col
 
 DEFAULT_BUCKETS = 128
@@ -90,8 +90,7 @@ def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) ->
         n = int(spec.split(":", 1)[1])
         return pages_df(spark, n, partitions=partitions)
     if is_bucketed_input(spec):
-        schema = PAGES_SCHEMA.add("bucket", "integer")
-        return spark.read.schema(schema).parquet(spec)
+        return spark.read.schema(bucketed_pages_schema()).parquet(spec)
     return spark.read.schema(PAGES_SCHEMA).parquet(spec)
 
 

@@ -26,6 +26,18 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
+def bucketed_pages_schema() -> T.StructType:
+    """PAGES_SCHEMA + the bucket partition column, as a FRESH StructType.
+    Never use PAGES_SCHEMA.add(...): StructType.add mutates the receiver
+    in place, so it would append a `bucket` field to the module-global
+    schema on every call — poisoning every later PAGES_SCHEMA user in
+    the same process (found when a bucketed read corrupted the
+    synthetic generator's mapInPandas schema)."""
+    return T.StructType(
+        list(PAGES_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Output: one struct per url.
 # Mirrors the reference's Document output model

@@ -73,3 +73,81 @@ print("VANILLA_OK")
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=420
     )
     assert "VANILLA_OK" in out.stdout, out.stderr[-2000:]
+
+
+# --- physical-plan assertions: the scale contract, machine-checked ----------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_job_plan_is_map_only(spark, tmp_path):
+    """Bucketed input must produce a ZERO-shuffle extraction plan:
+    scan -> UDF -> project, no Exchange anywhere (the 10^12-row design
+    point — page payloads never cross the network)."""
+    from pyspark.sql import functions as F
+    from document_extraction_service_spark.fixtures import pages_df
+    from document_extraction_service_spark.schema import bucketed_pages_schema
+    from document_extraction_service_spark.udfs import extraction_col
+
+    inp = str(tmp_path / "pages")
+    (pages_df(spark, 200)
+     .withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int"))
+     .repartition(8, "bucket").write.partitionBy("bucket").parquet(inp))
+
+    pages = spark.read.schema(bucketed_pages_schema()).parquet(inp)
+    extracted = (
+        pages.select("url", "warc_ts", "html", "lang", "text", "bucket")
+        .withColumn("_res", extraction_col())
+        .select("url", "bucket", F.col("_res.status.ok").alias("ok"))
+    )
+    extracted.collect()
+    assert "Exchange" not in _plan(extracted)
+
+
+def test_pricing_filter_pushed_to_scan(spark):
+    """The shipdate predicate must reach the parquet scan (Catalyst
+    pushdown), not run as a post-scan filter only."""
+    import __spark_entry__ as entry
+    df = entry.queries()["rel_pricing_summary"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_ann_topk_two_stage_window(spark):
+    """No single-key global sort: the first row_number window must be
+    partitioned by (query_id, input partition), the merge window sees
+    only k*P survivors."""
+    import __spark_entry__ as entry
+    df = entry.queries()["ann_topk_bruteforce"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _plan(df)
+    import re
+    windows = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert any("part" in w and "query_id" in w for w in windows), windows
+
+
+def test_broadcast_join_on_query_side(spark):
+    """ANN scans broadcast the tiny query side — the corpus side must
+    never be broadcast or shuffled for the join."""
+    import __spark_entry__ as entry
+    df = entry.queries()["ann_topk_bruteforce"](spark, "/root/testdata/sf0.001")
+    assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastHashJoin" in _plan(df)
+
+
+def test_metrics_scan_prunes_payload(spark, tmp_path):
+    """The lineage-style scan over committed output must read only
+    bucket/input_fp/status — never the extraction payload column."""
+    from document_extraction_service_spark.job import run_job
+    out, lin = str(tmp_path / "o"), str(tmp_path / "l")
+    run_job(spark, "synthetic:100", out, lin, "t-prune", n_buckets=8)
+    from pyspark.sql import functions as F
+    scan = (spark.read.parquet(out)
+            .filter(F.col("input_fp").isNotNull())
+            .groupBy("bucket").agg(F.sum(F.col("status.ok").cast("long"))))
+    scan.collect()
+    plan = _plan(scan)
+    rs = plan.split("ReadSchema:")[-1]
+    assert "extraction" not in rs
