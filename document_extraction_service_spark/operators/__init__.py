@@ -12,10 +12,10 @@ before any ROUND; window orderings always carry a unique tie-break
 column.
 """
 
-from . import dedup, multimodal, relational, similarity, textstats
+from . import curation, dedup, multimodal, relational, similarity, textstats
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
-for _m in (relational, dedup, similarity, textstats, multimodal):
+for _m in (relational, dedup, similarity, textstats, multimodal, curation):
     ALL_QUERIES.update(_m.QUERIES)
     ALL_ORACLES.update(_m.ORACLES)
