@@ -7,6 +7,8 @@ and these are its vector-space generalization):
   * brute-force cosine top-k  — the exactness baseline (oracle-checked)
   * LSH-bucketed ANN          — random-hyperplane signatures; the scale
                                 path (bucket join, no full cross join)
+  * IVF ANN                   — coarse-quantizer cells + nprobe search;
+                                the other standard scale path
 
 All vector math is JVM-side (zip_with/aggregate over array columns) —
 no Python on the hot path.
@@ -181,12 +183,102 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
+IVF_CELLS = 16          # coarse centroids (k for the quantizer)
+IVF_NPROBE = 4          # query probes this many nearest cells
+IVF_CENTROID_STRIDE = 37  # deterministic centroid sample: vec_id % stride == 0
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Deterministic coarse centroids WITHOUT k-means: a fixed stride
+    sample of the corpus (vec_id % STRIDE == 0, first IVF_CELLS by id).
+    On a real corpus these would come from one k-means job persisted
+    next to the table; the assignment/probe machinery below is
+    identical either way, and a deterministic sample keeps the whole
+    operator replayable (no RNG, no iterative state)."""
+    e = _t(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .collect()  # IVF_CELLS rows — driver-safe by construction
+    )
+    return [(int(r["vec_id"]), list(r["v"])) for r in rows]
+
+
+def ann_ivf(spark, sf_dir):
+    """IVF ANN: assign every vector to its nearest coarse centroid,
+    then search each query only within its IVF_NPROBE nearest cells.
+
+    Scale shape: the corpus is scanned once; assignment is ONE numpy
+    matmul against the normalized centroid matrix per Arrow batch (16
+    per-row JVM cosine expression trees measured ~6x slower via
+    codegen explosion — same lesson as the LSH signatures); candidates
+    shuffle only by cell id, bounded by the probed cells' population
+    (n * nprobe / cells in expectation), never the corpus.  Rows-only
+    driver check; recall vs brute force asserted in tests."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cmat = np.array([cv for _, cv in cents], dtype=np.float64).T  # (dims, C)
+    cmat = cmat / np.linalg.norm(cmat, axis=0, keepdims=True)
+    cell_ids = np.array([cid for cid, _ in cents], dtype=np.int32)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        if len(mat) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(cell_ids[np.argmax(mat @ cmat, axis=1)])
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned = e.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"),
+        assign(F.col("embedding")).alias("cell"),
+    )
+
+    # queries are N_QUERIES rows: probe cells computed driver-side
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _as_double(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        order = np.argsort(-(qv @ cmat))[:IVF_NPROBE]
+        for cid in cell_ids[order]:
+            probe_pairs.append((int(r["vec_id"]), list(r["qv"]), int(cid)))
+    q_cells = spark.createDataFrame(
+        probe_pairs, "query_id long, qv array<double>, cell int"
+    )
+
+    cand = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.floor(_cos(F.col("qv"), F.col("v")) * 1e6) / 1e6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": SQL_ANN_TOPK,
-    # ann_lsh_bucketed: xxhash64-derived hyperplanes, rows-only check
+    # ann_lsh_bucketed / ann_ivf: sketch/quantizer candidates are not
+    # SQL-reproducible cheaply -> rows-only check; recall vs brute
+    # force asserted in tests
 }

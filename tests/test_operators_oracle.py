@@ -171,3 +171,22 @@ def test_simhash_bucket_cap_bounds_pairs(spark):
     assert (0, 1) in got                       # true near-dup survives
     degenerate = [p for p in got if p[0] >= 100]
     assert len(degenerate) == 0                # capped bucket dropped
+
+
+def test_ann_ivf_recall_and_exact_cosines(spark):
+    """IVF hits must carry exact cosines (same as brute force) and
+    recall@5 above the nprobe/cells expectation floor."""
+    bf = entry.queries()["ann_topk_bruteforce"](spark, SF_DIR).collect()
+    ivf = entry.queries()["ann_ivf"](spark, SF_DIR).collect()
+    assert ivf, "IVF returned nothing"
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    for r in ivf:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in bf_cos:
+            assert abs(r["cosine"] - bf_cos[k]) < 1e-9
+    hits = sum(1 for r in ivf if (r["query_id"], r["neighbor_id"]) in bf_cos)
+    assert hits / len(bf) > 0.3  # nprobe=4 of 16 cells; clustered synthetic data
+    # determinism: second run bit-identical
+    again = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in entry.queries()["ann_ivf"](spark, SF_DIR).collect()}
+    assert again == {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf}
