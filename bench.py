@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_ivf",
+    "curate_corpus",
     "text_langid",
     "text_fingerprint",
 ]
