@@ -7,9 +7,11 @@ function) or a training-data-pipeline operator (dedup / similarity /
 text analysis) the engine adds beyond the reference.
 
 Determinism contract with the oracle comparison: float aggregates go
-through DECIMAL(18,6) sums (order-independent, exact in both engines)
-before any ROUND; window orderings always carry a unique tie-break
-column.
+through DECIMAL(18,6) sums (order-independent, exact in both engines);
+oracle-compared floats are emitted as floor(x*1e6)/1e6 with threshold
+filters on the UNFLOORED expression in both engines (ROUND ties break
+HALF_UP in Spark vs half-even in DuckDB); window orderings always
+carry a unique tie-break column.
 """
 
 from . import curation, dedup, multimodal, relational, similarity, textstats
