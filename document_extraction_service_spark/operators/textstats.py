@@ -162,11 +162,65 @@ SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS n_norm_chars FROM n
 """
 
 
+# --- rolling-hash document fingerprint --------------------------------------
+# polynomial rolling hash over the token stream (Rabin-Karp form):
+#   h = fold(tokens, seed=7, (h, v) -> (h*131 + v + 1) mod 1_000_000_007)
+#   v(tok) = (len*31 + first_codepoint)*31 + last_codepoint
+# All arithmetic stays under 2^63 (h < 1e9+7, so h*131+v < 1.4e11) and
+# is identical in Spark and DuckDB; empty tokens contribute v=1 via the
+# +1 term (Spark ascii('') and the DuckDB CASE both yield 0).
+ROLL_MOD = 1_000_000_007
+ROLL_BASE = 131
+ROLL_SEED = 7
+
+
+def text_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive content fingerprint via a polynomial rolling
+    hash — unlike the md5 canonical-form fingerprint, the fold
+    structure extends to streaming/incremental use (append a token =
+    one multiply-add).  Pure map at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tok_val = F.transform(
+        toks,
+        lambda t: (
+            (F.length(t) * 31 + F.ascii(t)) * 31
+            + F.ascii(F.substring(t, -1, 1))
+        ).cast("long"),
+    )
+    h = F.aggregate(
+        tok_val,
+        F.lit(ROLL_SEED).cast("long"),
+        lambda acc, v: (acc * ROLL_BASE + v + 1) % ROLL_MOD,
+    )
+    return d.select(
+        "doc_id",
+        h.alias("rolling_fp"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+SQL_ROLLING_FP = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST({ROLL_SEED} AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST((length(t) * 31
+                        + CASE WHEN t = '' THEN 0 ELSE unicode(t) END) * 31
+                       + CASE WHEN t = '' THEN 0
+                              ELSE unicode(substr(t, length(t), 1)) END AS BIGINT))),
+         (a, b) -> (a * {ROLL_BASE} + b + 1) % {ROLL_MOD}) AS rolling_fp,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_rolling_fingerprint": text_rolling_fingerprint,
 }
 
 ORACLES = {
@@ -174,4 +228,5 @@ ORACLES = {
     "text_quality": SQL_QUALITY,
     "text_tokens": SQL_TOKENS,
     "text_fingerprint": SQL_FINGERPRINT,
+    "text_rolling_fingerprint": SQL_ROLLING_FP,
 }
