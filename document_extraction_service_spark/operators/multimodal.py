@@ -12,6 +12,7 @@ clearly marked below.
 Stages (each a mapInPandas over Iterator[pd.DataFrame]):
   * sniff_media     — magic-byte container detection + size stats
   * image_features  — decode -> (width, height, channels, phash64)   [stubbed]
+  * image_resize    — decode -> resize(w, h) -> re-encoded reference  [stubbed]
   * audio_features  — decode -> (duration_s, sample_rate, rms)       [stubbed]
   * frame_sample    — video -> every k-th frame reference            [stubbed]
 """
@@ -282,6 +283,66 @@ def frame_sample(media: DataFrame, every_k: int = 8,
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("dst_width", T.IntegerType(), True),
+        T.StructField("dst_height", T.IntegerType(), True),
+        T.StructField("resized_digest", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def image_resize(media: DataFrame, max_side: int = 256,
+                 use_fake_decode: bool = True) -> DataFrame:
+    """Aspect-preserving resize to max_side (decode -> resize ->
+    re-encode, codecs stubbed).  Output carries the resized artifact as
+    a digest REFERENCE, never the pixel payload — in production the
+    re-encoded bytes go to object storage keyed by that digest, so the
+    shuffle moves ~100 bytes/row regardless of image size."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "src_width", "src_height", "dst_width",
+                "dst_height", "resized_digest", "decode_ok", "decode_error",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                out["media_id"].append(mid)
+                try:
+                    if use_fake_decode:
+                        w, h, _ = _fake_image_features(payload)
+                    else:
+                        w, h, _ = _decode_image_real(payload)
+                    scale = min(1.0, max_side / max(w, h))
+                    dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
+                    digest = hashlib.md5(
+                        payload + f"|{dw}x{dh}".encode()
+                    ).hexdigest()
+                    out["src_width"].append(w)
+                    out["src_height"].append(h)
+                    out["dst_width"].append(dw)
+                    out["dst_height"].append(dh)
+                    out["resized_digest"].append(digest)
+                    out["decode_ok"].append(True)
+                    out["decode_error"].append(None)
+                except DecodeUnavailable as exc:
+                    for k in ("src_width", "src_height", "dst_width",
+                              "dst_height", "resized_digest"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    out["decode_error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def media_from_pages(spark: SparkSession, n: int = 300) -> DataFrame:
     """Build a media table from the synthetic corpus: the html payload
     stands in as the opaque blob (kind derived from url family)."""
@@ -329,8 +390,16 @@ def media_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_k=8)
 
 
+def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: resize stage over the synthetic 'image' blobs
+    (rows-only check)."""
+    media = media_from_pages(spark, 300).filter(F.col("kind") == "image")
+    return image_resize(media, max_side=256)
+
+
 QUERIES = {
     "media_features": media_features_query,
+    "media_resize": media_resize_query,
     "media_audio_features": media_audio_features_query,
     "media_frame_sample": media_frame_sample_query,
 }

@@ -97,3 +97,24 @@ def test_frame_sample_real_decode_stubbed(spark):
     media = MM.media_from_pages(spark, 60).filter(F.col("kind") == "video").limit(5)
     rows = MM.frame_sample(media, use_fake_decode=False).collect()
     assert rows and all(not r["decode_ok"] and r["frame_idx"] == -1 for r in rows)
+
+
+def test_image_resize_bounded_and_aspect_preserving(spark):
+    media = MM.media_from_pages(spark, 60).filter(F.col("kind") == "image")
+    rows = MM.image_resize(media, max_side=128).collect()
+    assert rows
+    for r in rows:
+        assert r["decode_ok"] is True
+        assert max(r["dst_width"], r["dst_height"]) <= 128
+        # aspect ratio preserved within integer rounding
+        src_ar = r["src_width"] / r["src_height"]
+        dst_ar = r["dst_width"] / r["dst_height"]
+        assert abs(src_ar - dst_ar) / src_ar < 0.05
+        assert len(r["resized_digest"]) == 32
+    assert "payload" not in MM.image_resize(media).columns
+
+
+def test_image_resize_real_decode_stubbed(spark):
+    media = MM.media_from_pages(spark, 60).filter(F.col("kind") == "image").limit(4)
+    rows = MM.image_resize(media, use_fake_decode=False).collect()
+    assert rows and all(not r["decode_ok"] for r in rows)
