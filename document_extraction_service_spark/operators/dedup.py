@@ -35,6 +35,7 @@ MINHASH_PERMS = 32
 LSH_BANDS = 8          # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
 SIMHASH_MAX_HAMMING = 12
 SIMHASH_BUCKET_CAP = 256   # postings bound per (chunk, key) — see dedup_simhash
+MINHASH_BUCKET_CAP = 256   # postings bound per (band, bucket) — see dedup_minhash_lsh
 EMB_COS_THRESHOLD = 0.3   # synthetic embeddings: max within-label cosine ~0.47
 
 
@@ -178,10 +179,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     array_min-over-transform variant was measured ~30% slower: the
     per-row array allocations lose to whole-stage-codegen'd hash-agg.)
     Band buckets come from ONE posexplode — not an 8x unionByName that
-    would replay the aggregation 8 times.  The pair space never
-    materializes, only same-bucket collisions.  Rows-only driver check
-    (no xxhash64 in DuckDB); recall/precision vs exact Jaccard
-    asserted in tests."""
+    would replay the aggregation 8 times.  Buckets are bounded postings
+    lists (MINHASH_BUCKET_CAP) exactly like dedup_simhash: a degenerate
+    bucket — empty/near-empty docs all minimizing to the same sketch —
+    would otherwise make the candidate join quadratic in corpus size.
+    A bucket above the cap is a degenerate sketch region, not near-dup
+    signal (identical docs are dedup_exact's job), so the pair space is
+    bounded at LSH_BANDS * n_buckets * cap^2 regardless of n.  Pairs are
+    generated JVM-side by a double explode over the bounded array — no
+    skewed self-join key.  Rows-only driver check (no xxhash64 in
+    DuckDB); recall/precision vs exact Jaccard asserted in tests."""
     sh = _shingles(_t(spark, sf_dir, "documents"))
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -197,17 +204,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = mins.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
-    a = bands.alias("a")
-    b2 = bands.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    posts = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MINHASH_BUCKET_CAP))
+    )
+    pairs = (
+        posts.select(F.explode("docs").alias("doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.filter("docs", lambda d: d > F.col("doc_a"))).alias("doc_b"),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_bands_agree")
     )
 
 

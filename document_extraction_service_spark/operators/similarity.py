@@ -28,8 +28,20 @@ N_QUERIES = 10          # vec_id < 10 are the query vectors
 # (angle ~70°) P(same side) ~ 0.61 per plane, so one table of many
 # planes has near-zero recall; L tables of 4 planes give
 # P(collide >= 1 table) = 1 - (1 - 0.61^4)^L ~ 0.82 at L=12.
-LSH_PLANES = 4
+#
+# Corpus-scaling rule (selectivity): expected bucket population is
+# n / 2^planes, so planes must grow with n to stay a candidate
+# *generator* — planes = max(LSH_MIN_PLANES,
+# ceil(log2(n / LSH_TARGET_BUCKET_POP))) keeps the expected bucket at
+# ~LSH_TARGET_BUCKET_POP docs at any corpus size (500 rows -> 4 planes,
+# 10^9 rows -> 25).  Recall lost to extra planes is bought back by
+# multi-probe on the query side: each query probes its own bucket plus
+# all `planes` hamming-1 neighbours per table, so per-table recall is
+# p^k + k*p^(k-1)*(1-p) instead of p^k (p = 1 - angle/pi).  Candidates
+# stay bounded at tables * (planes+1) * bucket_pop per query.
+LSH_MIN_PLANES = 4
 LSH_TABLES = 12
+LSH_TARGET_BUCKET_POP = 32
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,6 +57,33 @@ def _cos(av, bv):
     na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda a, x: a + x * x))
     nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda a, x: a + x * x))
     return dot / (na * nb)
+
+
+def _two_stage_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Two-stage top-k per query: a single Window.partitionBy("query_id")
+    would funnel each query's whole scored candidate set through ONE
+    task (≤ N_QUERIES partitions regardless of cluster size).  Stage 1
+    takes top-k within (query_id, input-partition) — every window group
+    is at most one scan partition's rows — stage 2 merges only k·P
+    survivors per query.  Requires `scored` columns (query_id,
+    neighbor_id, cosine) with neighbor_id unique per query (the
+    (cosine desc, neighbor_id asc) order is then total, so both stages
+    are deterministic)."""
+    local = scored.withColumn("part", F.spark_partition_id())
+    wl = Window.partitionBy("query_id", "part").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pre = (
+        local.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= k)
+        .drop("part", "lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
 
 
 def ann_topk_bruteforce(spark, sf_dir):
@@ -66,27 +105,7 @@ def ann_topk_bruteforce(spark, sf_dir):
         # (CLAUDE.md gotcha: ROUND ties HALF_UP Spark vs half-even DuckDB)
         (F.floor(_cos(F.col("qv"), F.col("v")) * 1e6) / 1e6).alias("cosine"),
     )
-    # Two-stage top-k: a single Window.partitionBy("query_id") funnels
-    # the whole scored corpus for each query through ONE task (≤
-    # N_QUERIES partitions regardless of cluster size).  Stage 1 takes
-    # top-k within (query_id, input-partition) — every window group is
-    # at most one scan partition's rows — stage 2 merges only k·P
-    # survivors per query.
-    local = scored.withColumn("part", F.spark_partition_id())
-    wl = Window.partitionBy("query_id", "part").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    pre = (
-        local.withColumn("lr", F.row_number().over(wl))
-        .filter(F.col("lr") <= TOP_K)
-        .drop("part", "lr")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pre.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _two_stage_topk(scored)
 
 
 SQL_ANN_TOPK = f"""
@@ -103,17 +122,27 @@ SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {TOP_K}
 """
 
 
-def _planes(dims: int = 64):
+def _auto_planes(n: int) -> int:
+    """Corpus-scaled plane count: keep the expected bucket population
+    (n / 2^planes) at ~LSH_TARGET_BUCKET_POP (see the scaling-rule note
+    at the top constants)."""
+    import math
+
+    if n <= LSH_TARGET_BUCKET_POP:
+        return LSH_MIN_PLANES
+    return max(LSH_MIN_PLANES, math.ceil(math.log2(n / LSH_TARGET_BUCKET_POP)))
+
+
+def _planes(dims: int = 64, tables: int = LSH_TABLES, planes: int = LSH_MIN_PLANES):
     """Deterministic pseudo-random hyperplanes, shape (dims,
-    LSH_TABLES*LSH_PLANES): component (t,k,d) derived from
-    md5(t,k,d) mapped to [-1, 1).  Computed driver/worker-side as plain
-    constants — the planes are code, not data, so executors never fetch
-    a model."""
+    tables*planes): component (t,k,d) derived from md5(t,k,d) mapped to
+    [-1, 1).  Computed driver/worker-side as plain constants — the
+    planes are code, not data, so executors never fetch a model."""
     import hashlib
 
     cols = []
-    for t in range(LSH_TABLES):
-        for k in range(LSH_PLANES):
+    for t in range(tables):
+        for k in range(planes):
             col = []
             for d in range(dims):
                 h = hashlib.md5(f"{t}:{k}:{d}".encode()).digest()
@@ -122,36 +151,42 @@ def _planes(dims: int = 64):
     return np.array(cols, dtype=np.float64).T  # (dims, T*P)
 
 
-def _signatures_udf():
-    """pandas UDF: embedding batch -> LSH_TABLES bucket ids per row via
+def _signatures_udf(tables: int = LSH_TABLES, planes: int = LSH_MIN_PLANES):
+    """pandas UDF: embedding batch -> `tables` bucket ids per row via
     ONE numpy matmul (B x dims) @ (dims x T*P) — the vectorized path
     for numeric kernels (48 JVM expression trees per row measured 25x
     slower via codegen explosion)."""
-    pow2 = np.array([2**k for k in range(LSH_PLANES)], dtype=np.int64)
+    pow2 = np.array([2**k for k in range(planes)], dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def sig(embs: pd.Series) -> pd.Series:
-        planes = _planes()
+        pl = _planes(tables=tables, planes=planes)
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
         if len(mat) == 0:
             return pd.Series([], dtype=object)
-        bits = (mat @ planes) >= 0  # (B, T*P)
-        bits = bits.reshape(len(mat), LSH_TABLES, LSH_PLANES)
+        bits = (mat @ pl) >= 0  # (B, T*P)
+        bits = bits.reshape(len(mat), tables, planes)
         buckets = (bits * pow2).sum(axis=2).astype("int32")  # (B, T)
         return pd.Series(list(buckets))
 
     return sig
 
 
-def ann_lsh_bucketed(spark, sf_dir):
-    """Multi-table random-hyperplane LSH ANN: LSH_TABLES independent
-    sign-bit signatures -> per-table bucket equi-join -> union of
-    candidates -> exact rerank, top-k per query.  The 10^12-scale path:
-    candidate generation is a bucket equi-join per table, never a cross
-    join; signatures are one numpy matmul per Arrow batch.  Rows-only
-    driver check; recall vs brute force asserted in tests."""
-    sig = _signatures_udf()
-    e = _t(spark, sf_dir, "embeddings").select(
+def lsh_candidates(spark, sf_dir, tables: int = LSH_TABLES,
+                   planes: int | None = None) -> DataFrame:
+    """LSH candidate set (query_id, qv, neighbor_id, v), deduplicated.
+    Plane count scales with corpus size when not forced (_auto_planes —
+    expected bucket population stays constant), so candidate generation
+    stays a *selective* bucket equi-join, never a cross join; the query
+    side multi-probes its own bucket plus all hamming-1 buckets per
+    table to buy back the recall extra planes cost (math at the top
+    constants)."""
+    e_raw = _t(spark, sf_dir, "embeddings")
+    if planes is None:
+        # one metadata-only count (parquet row-group stats, no data scan)
+        planes = _auto_planes(e_raw.count())
+    sig = _signatures_udf(tables=tables, planes=planes)
+    e = e_raw.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
         sig(F.col("embedding")).alias("bs"),
@@ -161,26 +196,46 @@ def ann_lsh_bucketed(spark, sf_dir):
     buckets = e.select(
         "vec_id", "v", F.posexplode("bs").alias("tbl", "bucket")
     )
-    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
+    # multi-probe: the query probes its own bucket + `planes` hamming-1
+    # buckets per table (flip each sign bit) — tables*(planes+1) probe
+    # rows per query, all broadcast (tiny)
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
     )
-    cand = (
+    q = (
+        buckets.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl",
+            F.explode(probe_arr).alias("bucket"),
+        )
+    )
+    return (
         buckets.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def ann_lsh_bucketed(spark, sf_dir, tables: int = LSH_TABLES,
+                     planes: int | None = None):
+    """Multi-table random-hyperplane LSH ANN: `tables` independent
+    sign-bit signatures -> per-table multi-probe bucket equi-join ->
+    union of candidates -> exact rerank, two-stage top-k per query.
+
+    The 10^12-scale path: corpus-scaled planes keep buckets selective
+    (see lsh_candidates); signatures are one numpy matmul per Arrow
+    batch; rerank is partition-local top-k then a k·P merge, no
+    single-task funnel.  Rows-only driver check; recall vs brute force
+    asserted in tests at two (planes, tables) points."""
+    cand = lsh_candidates(spark, sf_dir, tables=tables, planes=planes)
     scored = cand.select(
         "query_id",
         "neighbor_id",
         (F.floor(_cos(F.col("qv"), F.col("v")) * 1e6) / 1e6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _two_stage_topk(scored)
 
 
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
@@ -262,12 +317,7 @@ def ann_ivf(spark, sf_dir):
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _two_stage_topk(cand)
 
 
 QUERIES = {

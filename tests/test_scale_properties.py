@@ -116,12 +116,16 @@ def test_pricing_filter_pushed_to_scan(spark):
     assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
 
 
-def test_ann_topk_two_stage_window(spark):
-    """No single-key global sort: the first row_number window must be
-    partitioned by (query_id, input partition), the merge window sees
-    only k*P survivors."""
+import pytest
+
+
+@pytest.mark.parametrize("ann", ["ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf"])
+def test_ann_topk_two_stage_window(spark, ann):
+    """No single-key global sort in ANY ANN rerank: the first row_number
+    window must be partitioned by (query_id, input partition), the
+    merge window sees only k*P survivors (VERDICT r2 'What's wrong' #2)."""
     import __spark_entry__ as entry
-    df = entry.queries()["ann_topk_bruteforce"](spark, "/root/testdata/sf0.001")
+    df = entry.queries()[ann](spark, "/root/testdata/sf0.001")
     df.collect()
     plan = _plan(df)
     import re
