@@ -42,8 +42,16 @@ def extract_metadata(parsed, chapters, title_guess, lang_hint):
     # reference strings so a cited work's DOI can't shadow the page's
     doi = (meta.get("citation_doi") or meta.get("doi") or "").strip() or None
     if not doi:
-        cite_set = set(parsed.cites)
-        scan = "\n".join(b.text for b in parsed.blocks if b.text not in cite_set)
+        # strip each <cite> string wherever it appears — a cite nested
+        # inside a larger block ('1. <cite>…</cite>' list item) must not
+        # shadow the page DOI either; whole-block equality missed those.
+        # Slack past the window so a cite straddling the truncation
+        # boundary is still removed in full.
+        max_cite = max((len(c) for c in parsed.cites), default=0)
+        scan = "\n".join(b.text for b in parsed.blocks)[:DOI_SCAN_CHARS + max_cite]
+        for c in parsed.cites:
+            if c:
+                scan = scan.replace(c, " ")
         scan = scan[:DOI_SCAN_CHARS]
         dois = X.DOI_RE.findall(scan)
         doi = max(dois, key=len).rstrip(".,;") if dois else None

@@ -22,11 +22,19 @@ MAX_SENTENCE_ROW_SHARE = 0.3  # quota of sentence-shaped rows
 SENTENCE_ROW_MIN_WORDS = 8
 # hard bound on the EXPANDED grid (raw cells are capped at parse time,
 # but colspan multiplies up to 64x and ragged-row padding multiplies by
-# max width — an 84KB page could otherwise expand past 2GB).  Every
-# row is clamped to MAX_GRID_CELLS // n_rows slots, so expanded size
-# never exceeds MAX_GRID_CELLS regardless of spans; never OOM,
-# flag truncated.
+# max width — an 84KB page could otherwise expand past 2GB).  The span
+# expansion draws on ONE shared remaining-cell budget (MAX_GRID_CELLS)
+# across all rows — a uniform per-row slice clamped legitimately wide
+# rows of tall tables (4000 one-cell rows + a 10-column header gave
+# per_row_cap=4 and silently dropped real header cells).  The final
+# ragged-row padding is bounded separately (MAX_PADDED_CELLS): never
+# OOM, flag truncated.
 MAX_GRID_CELLS = 16_384
+MAX_PADDED_CELLS = 65_536
+# J2 proximity bound: the reference's nearest-description match is
+# distance-bounded (table_models.py:113-131); the caption backscan must
+# not claim a "Tab…" block pages earlier as this table's caption.
+CAPTION_BACKSCAN_BLOCKS = 3
 
 
 def fill_grid(rows) -> tuple[list[list[tuple[str, bool]]], bool]:
@@ -35,26 +43,28 @@ def fill_grid(rows) -> tuple[list[list[tuple[str, bool]]], bool]:
     (J7, table_models.py:283-349,475-545): ragged rows are padded with
     empty cells, spans repeat their value into covered slots.
 
-    Returns (grid, truncated): expansion is clamped to a per-row slot
-    budget of MAX_GRID_CELLS // n_rows (see MAX_GRID_CELLS note)."""
+    Returns (grid, truncated): expansion draws on a shared budget of
+    MAX_GRID_CELLS filled cells; the padded matrix is additionally
+    bounded at MAX_PADDED_CELLS (see the constants note)."""
     if not rows:
         return [], False
-    per_row_cap = max(1, MAX_GRID_CELLS // len(rows))
+    remaining = MAX_GRID_CELLS
     truncated = False
-    grid: list[list[tuple[str, bool] | None]] = []
+    grid: list[list[tuple[str, bool]]] = []
     pending: dict[int, list] = {}  # col -> [remaining_rows, text, th]
-    for r, row in enumerate(rows):
-        out: list[tuple[str, bool] | None] = []
+    for row in rows:
+        out: list[tuple[str, bool]] = []
         c = 0
         it = iter(row)
         cell = next(it, None)
         while cell is not None or c in pending:
-            if c >= per_row_cap:
+            if remaining <= 0:
                 truncated = True
                 break
             if c in pending:
                 rem = pending[c]
                 out.append((rem[1], rem[2]))
+                remaining -= 1
                 rem[0] -= 1
                 if rem[0] <= 0:
                     del pending[c]
@@ -62,20 +72,25 @@ def fill_grid(rows) -> tuple[list[list[tuple[str, bool]]], bool]:
                 continue
             text, th, colspan, rowspan = cell
             for _ in range(colspan):
-                if c >= per_row_cap:
+                if remaining <= 0:
                     truncated = True
                     break
                 out.append((text, th))
+                remaining -= 1
                 if rowspan > 1:
                     pending[c] = [rowspan - 1, text, th]
                 c += 1
             cell = next(it, None)
         grid.append(out)
     width = max((len(r) for r in grid), default=0)
+    # padding bound: n_rows x width must not blow past MAX_PADDED_CELLS
+    # (one 16k-cell row + 4000 empty rows would otherwise pad to 65M)
+    if width and len(grid) * width > MAX_PADDED_CELLS:
+        width = max(1, MAX_PADDED_CELLS // len(grid))
+        truncated = True
+        grid = [row[:width] for row in grid]
     return [
-        [(cell if cell is not None else ("", False)) for cell in row]
-        + [("", False)] * (width - len(row))
-        for row in grid
+        list(row) + [("", False)] * (width - len(row)) for row in grid
     ], truncated
 
 
@@ -160,10 +175,13 @@ def extract_tables(parsed, labels, blocks, offsets):
         # starting with "tab" (F4, table_api.py:43-48) — greedy
         # WITHOUT replacement (J2, table_models.py:93-153): a caption
         # block feeds at most one table, so consecutive caption-less
-        # tables never share one description
+        # tables never share one description.  Proximity-bounded like
+        # the reference (CAPTION_BACKSCAN_BLOCKS): a far-away "Tab…"
+        # block is not this table's caption.
         caption = tc.caption
         if not caption:
-            for k in range(tc.anchor - 1, -1, -1):
+            for k in range(tc.anchor - 1,
+                           max(-1, tc.anchor - 1 - CAPTION_BACKSCAN_BLOCKS), -1):
                 if k in used_caption_blocks:
                     continue
                 btxt = blocks[k].text.lstrip().lower()

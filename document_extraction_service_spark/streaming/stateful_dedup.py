@@ -84,7 +84,16 @@ def _make_dedup_shard(idle_timeout_ms: int | None):
         else:
             seen = {}
 
-        for pdf in batches:
+        # Concatenate ALL of the shard's Arrow chunks before sorting: a
+        # per-chunk sort would make processing order (and the fingerprint
+        # left in state when one url arrives with two payloads in the
+        # same microbatch) follow chunk arrival order, not the global
+        # (warc_ts, url) order the determinism contract promises.  Safe:
+        # per-shard state is already bounded, and a shard's microbatch
+        # slice is a bounded fraction of the trigger interval's rows.
+        chunks = list(batches)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
             out = {c: [] for c in ("url", "warc_ts", "html", "text", "lang", "first_seen")}
             for row in pdf.itertuples(index=False):

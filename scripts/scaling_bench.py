@@ -130,14 +130,18 @@ def main() -> None:
         for a, b in pairs
     )
     hw_rows = "\n".join(f"| {c} | {hw[c]:.0f} |" for c in CORES)
-    lo, hi = CORES[0], CORES[1]
+    # headline pair = the first N->4N pair; ceiling note = the LAST pair
+    # (guarded on len(CORES): a 2-level run like SPARK_GRAFT_SCALE_CORES=2,8
+    # must not IndexError after all reps have already run)
+    lo, hi = pairs[0]
+    last_pair = pairs[-1]
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
 Protocol (BASELINE.md "sandbox evidence protocol"): the identical
 extraction job (`document_extraction_service_spark.job`, synthetic
 pages corpus, {N_PAGES} rows, seed=42, materialized ONCE untimed as a
 url-hash-bucketed parquet table — the Iceberg bucket-transform
-stand-in) run at three parallelism levels on the same input; docs/sec
+stand-in) run at {len(CORES)} parallelism levels on the same input; docs/sec
 measured over the job wall clock (bucketed scan -> extract UDF ->
 partitioned parquet write, the map-only design shape; on a real
 cluster the input already exists, so generation is not part of the
@@ -169,8 +173,8 @@ Hardware control throughput (no Spark at all):
 |---|---|
 {hw_rows}
 
-At 32 loaded vCPUs the box itself caps near
-{hw_eff[(CORES[1], CORES[2])]:.2f} per-core efficiency (memory
+At {last_pair[1]} loaded vCPUs the box itself caps near
+{hw_eff[last_pair]:.2f} per-core efficiency (memory
 bandwidth + hypervisor sharing; pure-arithmetic loops DO scale
 32-wide, so it is not a scheduler artifact) — no engine running on it
 can exceed its own host.  The {lo}->{hi} pair keeps both

