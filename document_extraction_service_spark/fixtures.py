@@ -276,10 +276,19 @@ def _page_figure(rng: random.Random, host: str, lang: str) -> tuple[str, str, st
         # be rejected (reference image_models.py:102-113)
         n_cap = 4 if f_idx % 3 == 0 else rng.randint(1, 2)
         cap = f"Figure {f_idx}. " + " ".join(_sentence(rng, bank) for _ in range(n_cap))
-        parts.append(
-            f'<figure><img src="https://{host}/img/{f_idx:03d}.png">'
-            f"<figcaption>{cap}</figcaption></figure>"
-        )
+        if f_idx % 2 == 0:
+            # non-markup association (very common on the real web): bare
+            # <img> followed by a "Figure N." paragraph, no <figure> —
+            # must be bound by adjacency (reference image_api.py:88-101)
+            parts.append(
+                f'<img src="https://{host}/img/{f_idx:03d}.png"><p>{cap}</p>'
+            )
+            crawl.append(cap)  # the caption paragraph is body text too
+        else:
+            parts.append(
+                f'<figure><img src="https://{host}/img/{f_idx:03d}.png">'
+                f"<figcaption>{cap}</figcaption></figure>"
+            )
     parts.append(f'<img src="https://{host}/img/inline.png" alt="">')
     tail = _paragraph(rng, bank)
     parts.append(f"<p>{tail}</p>")

@@ -36,8 +36,11 @@ def pinned_ids() -> list[int]:
 
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    # only delete files THIS script owns (page goldens; it rewrites
+    # corpus_invariants.json itself) — sketch_invariants.json belongs to
+    # scripts/replay_sketches.py and must survive a golden regen
     for old in os.listdir(GOLDEN_DIR):
-        if old.endswith(".json"):
+        if old.startswith("page_") and old.endswith(".json"):
             os.unlink(os.path.join(GOLDEN_DIR, old))
     for i in pinned_ids():
         row = fx.gen_page(i)
