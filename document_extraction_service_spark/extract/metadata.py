@@ -25,15 +25,41 @@ ABSTRACT_SCAN_BLOCKS = 40
 _ABSTRACT_ANCHOR_RE = re.compile(r"(?:abstract|zusammenfassung)\s*[.:—-]\s*", re.I)
 
 
+def split_author(s: str) -> dict | None:
+    """On-page author string -> {first_name, last_name} (reference
+    Author, datamodels.py:66-68; the Crossref given/family split,
+    metadata_api.py:232-234, replayed from page conventions):
+    'Last, First' (the Highwire citation_author convention) splits on
+    the comma; 'First [M.] Last' splits on the last space; a single
+    token is a bare last name."""
+    s = (s or "").strip()
+    if not s:
+        return None
+    if "," in s:
+        last, _, first = s.partition(",")
+        return {"first_name": first.strip(), "last_name": last.strip()}
+    if " " in s:
+        first, _, last = s.rpartition(" ")
+        return {"first_name": first.strip(), "last_name": last.strip()}
+    return {"first_name": "", "last_name": s}
+
+
 def extract_metadata(parsed, chapters, title_guess, lang_hint):
     meta = parsed.meta
 
     title = parsed.title or meta.get("og:title", "") or title_guess or ""
 
-    authors: list[str] = []
+    authors: list[dict] = []
+    seen_auth: set[tuple[str, str]] = set()
     for a in meta.get("__authors__", []):
-        if a and a not in authors:
-            authors.append(a)
+        au = split_author(a)
+        if au:
+            key = (au["first_name"], au["last_name"])
+            # (first, last) dedup also collapses the same person given
+            # once as 'A. Müller' and once as 'Müller, A.'
+            if key not in seen_auth:
+                seen_auth.add(key)
+                authors.append(au)
 
     lang = parsed.html_lang or (lang_hint or "")
 
@@ -112,21 +138,28 @@ _REF_KV_RE = re.compile(r"\s*citation_([a-z_]+)\s*=\s*([^;]*)")
 
 def _references(parsed) -> list[dict]:
     """On-page reference harvest (reference Reference model,
-    datamodels.py:60-64): repeatable citation_reference meta tags,
-    then <cite> elements.  DOI per entry via the X1 regex; title is
-    the citation_title pair when present, else the raw string minus
-    its DOI."""
+    datamodels.py:60-64 incl. per-reference authors): repeatable
+    citation_reference meta tags, then <cite> elements.  DOI per entry
+    via the X1 regex; title is the citation_title pair when present,
+    else the raw string minus its DOI; authors from repeatable
+    citation_author pairs ('Last, First' convention)."""
     out = []
     seen = set()
     for raw in parsed.meta.get("__refs__", []):
-        kv = dict(_REF_KV_RE.findall(raw)) if "citation_" in raw else {}
+        pairs = _REF_KV_RE.findall(raw) if "citation_" in raw else []
+        kv = dict(pairs)
         title = (kv.get("title") or "").strip() or None
         doi_m = X.DOI_RE.findall(kv.get("doi") or raw)
         doi = max(doi_m, key=len).rstrip(".,;") if doi_m else None
+        # dict(pairs) collapses repeats — collect EVERY author pair
+        ref_authors = [
+            a for k, v in pairs if k == "author" and (a := split_author(v))
+        ]
         key = (doi, title or raw)
         if key not in seen:
             seen.add(key)
-            out.append({"doi": doi, "title": title, "raw": raw})
+            out.append({"doi": doi, "authors": ref_authors,
+                        "title": title, "raw": raw})
     for raw in parsed.cites:
         doi_m = X.DOI_RE.findall(raw)
         doi = max(doi_m, key=len).rstrip(".,;") if doi_m else None
@@ -138,5 +171,6 @@ def _references(parsed) -> list[dict]:
         key = (doi, title or raw)
         if key not in seen:
             seen.add(key)
-            out.append({"doi": doi, "title": title, "raw": raw})
+            # free-form <cite> strings carry no structured author pairs
+            out.append({"doi": doi, "authors": [], "title": title, "raw": raw})
     return out

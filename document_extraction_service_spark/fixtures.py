@@ -309,7 +309,16 @@ def _page_metadata(rng: random.Random, host: str, lang: str) -> tuple[str, str, 
     doi = f"10.{rng.randint(1000, 99999)}/desx.{rng.randint(100000, 999999)}"
     abstract = _paragraph(rng, bank, n_sent=3)
     body, crawl = _article_body(rng, bank, rng.randint(1, 3))
-    metas = "".join(f'<meta name="author" content="{a}">' for a in authors)
+    # both on-page author conventions, deterministically alternated:
+    # plain 'First Last' author metas and Highwire 'Last, First'
+    # citation_author metas (Author-split parity, datamodels.py:66-68)
+    def _author_meta(a: str, j: int) -> str:
+        if j % 2:
+            first, _, last = a.rpartition(" ")
+            return f'<meta name="citation_author" content="{last}, {first}">'
+        return f'<meta name="author" content="{a}">'
+
+    metas = "".join(_author_meta(a, j) for j, a in enumerate(authors))
     # abstract markup varies: h2 heading, bold-only pseudo-heading, or
     # an inline "Abstract. …" anchor paragraph (W7 anchor-block grow,
     # reference metadata_api.py:96-145); half the pages drop the
@@ -341,9 +350,17 @@ def _page_metadata(rng: random.Random, host: str, lang: str) -> tuple[str, str, 
             rt = _title(rng, bank)
             rdoi = f"10.{rng.randint(1000, 99999)}/ref.{rng.randint(100000, 999999)}"
             if rng.random() < 0.5:
+                # 1-2 structured ref authors, derived WITHOUT extra rng
+                # draws (keeps the stream stable for following pages)
+                ref_auths = ";".join(
+                    "citation_author={1}, {0}".format(
+                        *_AUTHORS[(len(rt) + k) % len(_AUTHORS)].rsplit(" ", 1)
+                    )
+                    for k in range(1 + len(rt) % 2)
+                )
                 cite_metas += (
                     f'<meta name="citation_reference" '
-                    f'content="citation_title={rt};citation_doi={rdoi}">'
+                    f'content="citation_title={rt};{ref_auths};citation_doi={rdoi}">'
                 )
             else:
                 ref_items.append(f"<li><cite>{rt}. doi:{rdoi}</cite></li>")

@@ -94,11 +94,22 @@ IMAGE = T.StructType(
     ]
 )
 
-# reference: Reference (datamodels.py:60-64) minus per-reference author
-# splitting (a Crossref enrichment); raw keeps the on-page string.
+# reference: Author{first_name, last_name} (datamodels.py:66-68).
+AUTHOR = T.StructType(
+    [
+        T.StructField("first_name", T.StringType(), True),
+        T.StructField("last_name", T.StringType(), True),
+    ]
+)
+
+# reference: Reference{doi, authors, title} (datamodels.py:60-64); raw
+# keeps the on-page string (authors come from repeatable
+# citation_author pairs inside citation_reference metas — the on-page
+# stand-in for the reference's Crossref enrichment).
 REFERENCE = T.StructType(
     [
         T.StructField("doi", T.StringType(), True),
+        T.StructField("authors", T.ArrayType(AUTHOR), True),
         T.StructField("title", T.StringType(), True),
         T.StructField("raw", T.StringType(), True),
     ]
@@ -112,7 +123,10 @@ METADATA = T.StructType(
         # elements; publisher/description from meta/OpenGraph tags.
         T.StructField("title", T.StringType(), True),
         T.StructField("subtitle", T.StringType(), True),
-        T.StructField("authors", T.ArrayType(T.StringType()), True),
+        # structured authors (Author parity, datamodels.py:66-68): split
+        # from on-page author/citation_author metas ("Last, First" is the
+        # citation_* convention; "First Last" the plain-author one)
+        T.StructField("authors", T.ArrayType(AUTHOR), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("doi", T.StringType(), True),
         T.StructField("publisher", T.StringType(), True),
