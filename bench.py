@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",

@@ -14,10 +14,10 @@ HALF_UP in Spark vs half-even in DuckDB); window orderings always
 carry a unique tie-break column.
 """
 
-from . import curation, dedup, multimodal, relational, similarity, textstats
+from . import curation, dedup, multimodal, relational, similarity, textstats, weburl
 
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
-for _m in (relational, dedup, similarity, textstats, multimodal, curation):
+for _m in (relational, dedup, similarity, textstats, multimodal, curation, weburl):
     ALL_QUERIES.update(_m.QUERIES)
     ALL_ORACLES.update(_m.ORACLES)

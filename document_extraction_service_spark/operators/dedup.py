@@ -334,17 +334,117 @@ WHERE list_dot_product(a.v, b.v) /
 """
 
 
+MAX_CC_ITERS = 30  # convergence bound = component diameter (tiny for near-dup sets)
+
+
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph: every doc in a
+    component gets the component's min doc_id as cluster_id (the
+    canonical survivor), plus the component size — the step every
+    production dedup pipeline needs AFTER pair generation (keep one doc
+    per cluster, not per pair: A~B, B~C must collapse A,B,C together
+    even when A~C was never emitted).
+
+    Algorithm: min-label propagation to fixpoint — label(u) =
+    min(label(u), min over neighbours of label(v)) — the core primitive
+    of the alternating large-star/small-star CC algorithm (Kiveris et
+    al., 'Connected Components in MapReduce and Beyond').  Scale shape:
+    each iteration shuffles only (node, label) longs, never text; the
+    edge set is bounded by the capped pair generation upstream
+    (SHINGLE_DF_CAP); iteration count is the component DIAMETER, and
+    near-dup components are shallow (a cluster of rewrites of one page
+    is near-clique), so convergence is a handful of rounds even at
+    10^12 docs.  localCheckpoint per round truncates the lineage so the
+    plan does not grow with iterations.  Deterministic: min-label is
+    order-independent; the driver loop only checks a converged count."""
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pair graph -> (doc_id, cluster_id, cluster_size).
+    Min-label propagation to fixpoint; see dedup_clusters for the scale
+    analysis."""
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("doc_id"), F.least("u", "mn").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERS):
+        prop = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("v"), "lbl"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(prop, labels.doc_id == prop.u, "left")
+            .select(
+                "doc_id",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            "doc_id",
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+# transitive closure via recursive CTE (components are small — the UNION
+# dedups, so the closure terminates); cluster = min reachable node
+SQL_CLUSTERS = f"""
+WITH RECURSIVE
+j AS ({SQL_JACCARD}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM j
+      UNION SELECT doc_b, doc_a FROM j),
+r AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+),
+lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM r GROUP BY u)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lbl
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
     "dedup_exact": SQL_EXACT,
     "dedup_ngram_jaccard": SQL_JACCARD,
     "dedup_embedding_cosine": SQL_EMB_COSINE,
-    # dedup_minhash_lsh / dedup_simhash: xxhash64-based, rows-only check
+    "dedup_clusters": SQL_CLUSTERS,
+    # dedup_minhash_lsh / dedup_simhash: xxhash64-based -> pinned-replay
+    # oracles built in __spark_entry__ from tests/golden/sketch_invariants.json
 }

@@ -215,12 +215,72 @@ FROM documents
 """
 
 
+TOP_NGRAMS_K = 10
+
+
+def text_top_ngrams(spark, sf_dir):
+    """Top-K word trigrams per language — the corpus-profiling
+    heavy-hitter query (boilerplate discovery, contamination screening).
+
+    Scale shape: the (lang, shingle) count is ONE hash aggregation with
+    map-side partial combine (only distinct (lang, shingle) partials
+    cross the shuffle); per-lang top-K uses the same two-stage pattern
+    as the ANN reranks — partition-local row_number, then a merge over
+    K·P survivors — so no single task ever sorts a language's whole
+    n-gram distribution (a language IS a skewed key at crawl scale).
+    Tie-break (count desc, trigram asc) is total -> deterministic."""
+    from pyspark.sql import Window
+
+    from .dedup import _shingle_array
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(_shingle_array()).alias("trigram"))
+        .groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    local = counts.withColumn("part", F.spark_partition_id())
+    wl = Window.partitionBy("lang", "part").orderBy(F.desc("n"), F.asc("trigram"))
+    pre = (
+        local.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= TOP_NGRAMS_K)
+        .drop("part", "lr")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_NGRAMS_K)
+        .select("lang", "rank", "trigram", "n")
+    )
+
+
+# same shingle construction as SQL_JACCARD's sh CTE, but NOT distinct
+# per doc (frequency counting wants every occurrence) — mirrors
+# _shingle_array + explode exactly: array_distinct applies WITHIN a doc
+# in the Spark path, so DISTINCT per (doc, shingle) is mirrored here.
+SQL_TOP_NGRAMS = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang, u.trigram FROM toks,
+    UNNEST(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN range(1, len(t) - 1)]
+           ELSE [array_to_string(t, ' ')] END) AS u(trigram)),
+c AS (SELECT lang, trigram, COUNT(*) AS n FROM sh GROUP BY lang, trigram),
+r AS (SELECT lang, trigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, trigram ASC) AS rank
+      FROM c)
+SELECT lang, rank, trigram, n FROM r WHERE rank <= {TOP_NGRAMS_K}
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_rolling_fingerprint": text_rolling_fingerprint,
+    "text_top_ngrams": text_top_ngrams,
 }
 
 ORACLES = {
@@ -229,4 +289,5 @@ ORACLES = {
     "text_tokens": SQL_TOKENS,
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rolling_fingerprint": SQL_ROLLING_FP,
+    "text_top_ngrams": SQL_TOP_NGRAMS,
 }

@@ -97,6 +97,35 @@ def hardware_control(procs: int, per: int = 1500) -> float:
         return total / (time.time() - t0)
 
 
+def _spin(n: int = 10_000_000) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    return time.perf_counter() - t0
+
+
+def host_probe() -> tuple[float, float]:
+    """Spark-free host-mode probe run IMMEDIATELY BEFORE each sample:
+    (single-thread spin s, max-width mean spin s).  The box is bimodal
+    on a ~10-minute timescale (r3 finding: the same job binary on the
+    same input did 921 docs/s and 5390 docs/s ten minutes apart) — in
+    slow-host windows the full-width spin time multiplies while the
+    single-thread time barely moves, so each sample below carries the
+    host mode it was measured under."""
+    t1 = _spin()
+    width = max(CORES)
+    with mp.Pool(width) as p:
+        t0 = time.perf_counter()
+        p.map(_spin_arg, [10_000_000] * width)
+        tw = (time.perf_counter() - t0)
+    return t1, tw
+
+
+def _spin_arg(n: int) -> float:
+    return _spin(n)
+
+
 def main() -> None:
     samples: dict[int, list[dict]] = {c: [] for c in CORES}
     input_tmp = tempfile.mkdtemp(prefix="scale_pages_")
@@ -105,11 +134,14 @@ def main() -> None:
     materialize_input(N_PAGES, input_dir)
     for rep in range(REPS):
         for cores in CORES:  # interleaved: steal-time bursts hit all configs
+            p1, pw = host_probe()
             m = run_at(cores, input_dir, str(rep))
+            m["probe_1"], m["probe_w"] = p1, pw
             samples[cores].append(m)
             print(
                 f"rep{rep} local[{cores}]: {m['docs_per_sec']:.1f} docs/s "
-                f"wall={m['wall_ms']}ms", flush=True,
+                f"wall={m['wall_ms']}ms probe1={p1:.2f}s probe{max(CORES)}={pw:.2f}s",
+                flush=True,
             )
 
     med = {c: statistics.median(m["docs_per_sec"] for m in samples[c]) for c in CORES}
@@ -122,7 +154,8 @@ def main() -> None:
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     cfg_rows = "\n".join(
         f"| local[{c}] | {med[c]:.1f} | "
-        + ", ".join(f"{m['docs_per_sec']:.0f}" for m in samples[c]) + " |"
+        + ", ".join(f"{m['docs_per_sec']:.0f}" for m in samples[c]) + " | "
+        + ", ".join(f"{m['probe_w']:.1f}" for m in samples[c]) + " |"
         for c in CORES
     )
     pair_rows = "\n".join(
@@ -148,8 +181,8 @@ cluster the input already exists, so generation is not part of the
 job), excluding JVM/session startup.  {REPS} interleaved run triples;
 per-config median reported; every sample listed.
 
-| config | median docs/sec | samples (docs/sec) |
-|---|---|---|
+| config | median docs/sec | samples (docs/sec) | host probe before each sample ({max(CORES)}-wide spin s; ~0.6s = quiet host) |
+|---|---|---|---|
 {cfg_rows}
 
 Both N -> 4N pairs, next to the Spark-free hardware control (the same
@@ -188,21 +221,25 @@ job shape (url-hash bucketed input, zero payload shuffle,
 deterministic per-row UDF) scales with executor count by construction.
 
 
-## 32-wide variance note
+## 32-wide variance note (host bimodality, directly evidenced)
 
-local[32] job samples swing 2605-4361 docs/s across interleaved reps
-(and up to 6632 in quiet-host probes), while local[2]/local[8] hold
-+-3%/+-10%: a single stolen vCPU stalls the full 32-wide stage, so
-hypervisor steal (bursty ~10% on this box, see CLAUDE.md gotcha #1)
-dominates any 32-wide measurement.  An isolation A/B bounds the engine
-itself: with a noop sink the scan+extract stage reaches ~11.5k docs/s
-at local[32] — equal to the Spark-free hardware control — so the UDF
-chain scales to the box ceiling and the residual gap is the
-JVM parquet encode of the nested output structs competing for the same
-cores (plus steal).  Also found and fixed during this round: an
-oversized driver heap (48g vs the tuned 24g) made the local[32] write
-stage 3x slower via GC page churn at 42-65% system CPU — heap size is
-pinned in session.py.
+This VM alternates between a quiet mode and a degraded mode on a
+~10-minute timescale, and the degradation scales with job WIDTH: in a
+round-3 controlled run, the IDENTICAL job binary on the IDENTICAL
+150k-row input measured 921 docs/s and 5,390 docs/s ten minutes apart
+at local[32], while local[8] swung far less and local[2] barely moved.
+A six-run diagnostic (scripts/diag32.py) in a quiet window measured
+every local[32] run at 5,100-7,400 docs/s with /proc/stat steal ~0%
+and sys CPU 5-23%, for BOTH snappy and zstd write codecs — i.e. no
+code-level or codec-level 32-wide pathology remains; slow samples are
+a host mode, not an engine mode.  The host-probe column above makes
+the mode visible per sample: a Spark-free {max(CORES)}-process spin
+measured immediately before each run (quiet host ~0.6s; degraded
+windows multiply it).  Interpret any slow local[{max(CORES)}] sample
+against its probe value.  (Also found and fixed in earlier rounds: an
+oversized driver heap made the write stage 3x slower via GC page churn
+— heap pinned at 24g in session.py; .observe() on the write doubled
+stage time — metrics come from the lineage scan instead.)
 
 Generated {stamp} by scripts/scaling_bench.py.
 """

@@ -223,6 +223,23 @@ def test_lsh_scaling_second_point_recall_and_selectivity(spark):
     assert similarity._auto_planes(10**9) == 25
 
 
+def test_connected_components_chain_and_cliques(spark):
+    """A~B, B~C (A~C never emitted) must collapse into ONE cluster with
+    min-id canonical; disjoint components stay separate; a long chain
+    (diameter > 1 propagation round) still converges."""
+    from document_extraction_service_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (emitted as consecutive pairs only) + clique {10,11}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in connected_components(pairs).collect()}
+    assert {rows[d] for d in (1, 2, 3, 4, 5)} == {(1, 5)}
+    assert rows[10] == (10, 2) and rows[11] == (10, 2)
+
+
 def test_ann_ivf_recall_and_exact_cosines(spark):
     """IVF hits must carry exact cosines (same as brute force) and
     recall@5 above the nprobe/cells expectation floor."""
