@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "text_langid",
     "text_fingerprint",
+    "text_top_ngrams",
 ]
 
 

@@ -118,5 +118,63 @@ WHERE pred_lang = 'en' AND quality >= {QUALITY_MIN}
 GROUP BY source
 """
 
-QUERIES = {"curate_corpus": curate_corpus}
-ORACLES = {"curate_corpus": SQL_CURATE}
+# per-language sampling rates for the stratified sampler (a training
+# mix: over-sample high-resource quality langs, down-sample the tail)
+SAMPLE_RATES = {"en": 0.5, "de": 0.5, "fr": 0.25, "es": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def curate_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling by language — the step that
+    turns a curated pool into a training MIX.  The sampling decision is
+    a pure function of doc_id (first 32 bits of md5 -> frac in [0,1);
+    keep iff frac < rate[lang]): no RNG, so reruns/resumes/audits select
+    the SAME docs, and the operator is a pure map — no shuffle, no
+    state, embarrassingly parallel at 10^12 rows.  (Production would use
+    xxhash64 for speed; md5 keeps the oracle exact in SQL — same
+    engine-independent-hash reasoning as text_fingerprint.)"""
+    d = _t(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lg, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    return (
+        d.select(
+            "doc_id", "lang",
+            frac.alias("_frac"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("_frac") < F.col("_rate"))
+        .select(
+            "doc_id", "lang",
+            (F.floor(F.col("_frac") * 1_000_000) / 1_000_000).alias("sample_frac"),
+        )
+    )
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lg}' THEN {r}" for lg, r in sorted(SAMPLE_RATES.items())
+) + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+
+SQL_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM documents)
+SELECT doc_id, lang, FLOOR(frac * 1000000) / 1000000 AS sample_frac
+FROM s
+WHERE frac < {_RATE_CASE}
+"""
+
+QUERIES = {
+    "curate_corpus": curate_corpus,
+    "curate_sample_stratified": curate_sample_stratified,
+}
+ORACLES = {
+    "curate_corpus": SQL_CURATE,
+    "curate_sample_stratified": SQL_SAMPLE,
+}

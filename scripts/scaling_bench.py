@@ -97,33 +97,34 @@ def hardware_control(procs: int, per: int = 1500) -> float:
         return total / (time.time() - t0)
 
 
-def _spin(n: int = 10_000_000) -> float:
+def _membw(n_mb: int = 64) -> float:
+    """Seconds for 2 copies of an n_mb buffer — a MEMORY-BANDWIDTH
+    probe, not an ALU spin: pure-arithmetic loops scale perfectly on
+    this box even in degraded windows (CLAUDE.md gotcha #11), so only a
+    bandwidth-bound probe can see the mode that slows the engine (a
+    string/Arrow/parquet workload is bandwidth-bound)."""
+    buf = bytes(n_mb * 1024 * 1024)
     t0 = time.perf_counter()
-    x = 0
-    for i in range(n):
-        x += i
+    x = bytearray(buf)
+    y = bytes(x)
+    del x, y
     return time.perf_counter() - t0
 
 
 def host_probe() -> tuple[float, float]:
     """Spark-free host-mode probe run IMMEDIATELY BEFORE each sample:
-    (single-thread spin s, max-width mean spin s).  The box is bimodal
-    on a ~10-minute timescale (r3 finding: the same job binary on the
-    same input did 921 docs/s and 5390 docs/s ten minutes apart) — in
-    slow-host windows the full-width spin time multiplies while the
-    single-thread time barely moves, so each sample below carries the
-    host mode it was measured under."""
-    t1 = _spin()
+    (single-proc membw s, max-width concurrent membw mean s).  The box
+    is bimodal on a ~10-minute timescale (r3 finding: the same job
+    binary on the same input did 921 docs/s and 5390 docs/s ten minutes
+    apart), so each sample below carries the host mode it was measured
+    under."""
+    t1 = _membw()
     width = max(CORES)
     with mp.Pool(width) as p:
         t0 = time.perf_counter()
-        p.map(_spin_arg, [10_000_000] * width)
+        p.map(_membw, [64] * width)
         tw = (time.perf_counter() - t0)
     return t1, tw
-
-
-def _spin_arg(n: int) -> float:
-    return _spin(n)
 
 
 def main() -> None:
@@ -181,7 +182,7 @@ cluster the input already exists, so generation is not part of the
 job), excluding JVM/session startup.  {REPS} interleaved run triples;
 per-config median reported; every sample listed.
 
-| config | median docs/sec | samples (docs/sec) | host probe before each sample ({max(CORES)}-wide spin s; ~0.6s = quiet host) |
+| config | median docs/sec | samples (docs/sec) | host membw probe before each sample ({max(CORES)}-wide concurrent 128MB-copy s; ~0.25s = quiet host, degraded windows multiply it) |
 |---|---|---|---|
 {cfg_rows}
 
@@ -233,10 +234,12 @@ every local[32] run at 5,100-7,400 docs/s with /proc/stat steal ~0%
 and sys CPU 5-23%, for BOTH snappy and zstd write codecs — i.e. no
 code-level or codec-level 32-wide pathology remains; slow samples are
 a host mode, not an engine mode.  The host-probe column above makes
-the mode visible per sample: a Spark-free {max(CORES)}-process spin
-measured immediately before each run (quiet host ~0.6s; degraded
-windows multiply it).  Interpret any slow local[{max(CORES)}] sample
-against its probe value.  (Also found and fixed in earlier rounds: an
+the mode visible per sample: a Spark-free {max(CORES)}-process
+MEMORY-BANDWIDTH probe (concurrent 128MB copies; ALU spins scale
+perfectly even in degraded windows, so only a bandwidth probe sees the
+mode that slows a string/Arrow/parquet engine) measured immediately
+before each run; quiet host ~0.25s, degraded windows multiply it.
+Interpret any slow local[{max(CORES)}] sample against its probe value.  (Also found and fixed in earlier rounds: an
 oversized driver heap made the write stage 3x slower via GC page churn
 — heap pinned at 24g in session.py; .observe() on the write doubled
 stage time — metrics come from the lineage scan instead.)
