@@ -53,7 +53,7 @@ def materialize_input(n_pages: int, out_dir: str) -> None:
     )
 
 
-def run_at(cores: int, input_dir: str, tag: str) -> dict:
+def run_at(cores: int, input_dir: str, tag: str, retries: int = 1) -> dict:
     with tempfile.TemporaryDirectory() as tmp:
         cmd = [
             sys.executable, "-m", "document_extraction_service_spark.job",
@@ -69,9 +69,22 @@ def run_at(cores: int, input_dir: str, tag: str) -> dict:
         # turns the nested-struct parquet write into kernel-side page
         # churn (42-65% sys CPU).  The session default (24g) is tuned.
         env = dict(os.environ)
-        out = subprocess.run(
-            cmd, cwd=REPO, capture_output=True, text=True, check=True, env=env
-        ).stdout
+        for attempt in range(retries + 1):
+            try:
+                out = subprocess.run(
+                    cmd, cwd=REPO, capture_output=True, text=True,
+                    check=True, env=env,
+                ).stdout
+                break
+            except subprocess.CalledProcessError as e:
+                # transient host hiccups can kill a JVM mid-bench (seen
+                # once in 30+ runs); retry once, surface the stderr
+                sys.stderr.write(
+                    f"run_at local[{cores}] attempt {attempt} failed:\n"
+                    f"{(e.stderr or '')[-2000:]}\n"
+                )
+                if attempt == retries:
+                    raise
         last = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
         return ast.literal_eval(last)
 

@@ -132,3 +132,21 @@ def test_job_counts_fallback_rows(spark, dirs, tmp_path):
     assert got["https://a/y"]["status"]["fallback"]
     assert got["https://a/y"]["extraction"]["extracted_text"] == "only crawl text survives here"
     assert not got["https://a/x"]["status"]["fallback"]
+
+
+def test_write_options_env_override(monkeypatch):
+    """SPARK_GRAFT_WRITE_OPTS merges over the tuned defaults (the A/B
+    harness contract); empty env returns the defaults verbatim."""
+    from document_extraction_service_spark.job import DEFAULT_WRITE_OPTS, write_options
+
+    monkeypatch.delenv("SPARK_GRAFT_WRITE_OPTS", raising=False)
+    assert write_options() == DEFAULT_WRITE_OPTS
+    assert write_options() is not DEFAULT_WRITE_OPTS  # caller-safe copy
+
+    monkeypatch.setenv("SPARK_GRAFT_WRITE_OPTS",
+                       "compression=snappy, parquet.block.size = 16777216")
+    got = write_options()
+    assert got["compression"] == "snappy"
+    assert got["parquet.block.size"] == "16777216"
+    # untouched defaults survive the merge
+    assert got["parquet.enable.dictionary"] == "false"
