@@ -73,15 +73,20 @@ def run_at(cores: int, input_dir: str, tag: str, retries: int = 1) -> dict:
             try:
                 out = subprocess.run(
                     cmd, cwd=REPO, capture_output=True, text=True,
-                    check=True, env=env,
+                    check=True, env=env, timeout=900,
                 ).stdout
                 break
-            except subprocess.CalledProcessError as e:
-                # transient host hiccups can kill a JVM mid-bench (seen
-                # once in 30+ runs); retry once, surface the stderr
+            except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+                # transient host hiccups can kill a JVM mid-bench, and
+                # one run in ~40 wedged on a desynced py4j gateway
+                # (python driver waiting on a response, JVM gateway
+                # waiting on a command — jstack/wchan evidence in the
+                # r3 log).  Timeout + one retry keeps the 5-rep batch
+                # alive; the sample is re-measured, never fabricated.
+                err = getattr(e, "stderr", "") or ""
                 sys.stderr.write(
-                    f"run_at local[{cores}] attempt {attempt} failed:\n"
-                    f"{(e.stderr or '')[-2000:]}\n"
+                    f"run_at local[{cores}] attempt {attempt} failed "
+                    f"({type(e).__name__}):\n{err[-2000:]}\n"
                 )
                 if attempt == retries:
                     raise
