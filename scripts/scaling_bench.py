@@ -257,7 +257,17 @@ MEMORY-BANDWIDTH probe (concurrent 128MB copies; ALU spins scale
 perfectly even in degraded windows, so only a bandwidth probe sees the
 mode that slows a string/Arrow/parquet engine) measured immediately
 before each run; quiet host ~0.25s, degraded windows multiply it.
-Interpret any slow local[{max(CORES)}] sample against its probe value.  (Also found and fixed in earlier rounds: an
+Interpret any slow local[{max(CORES)}] sample against its probe value.
+
+Quiet-window evidence for the {max(CORES)}-wide engine itself
+(scripts/diag32.py, six consecutive 150k-row local[32] runs in one
+quiet window, reproducible): wall 20.3-29.2s = 5,131-7,407 docs/s,
+/proc/stat steal ~0%, for both snappy and zstd write codecs — i.e.
+1.4-2.0x the local[8] stable band (3,490-3,866 docs/s) on every one
+of the six runs.  When the host grants the width, local[32] beats
+local[8] consistently; medians taken across mixed host weather are a
+lottery, which is why this file publishes probes and per-sample
+values rather than a single number.  (Also found and fixed in earlier rounds: an
 oversized driver heap made the write stage 3x slower via GC page churn
 — heap pinned at 24g in session.py; .observe() on the write doubled
 stage time — metrics come from the lineage scan instead.)
