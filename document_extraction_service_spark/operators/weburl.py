@@ -94,13 +94,18 @@ def web_url_canonicalize(spark, sf_dir):
 
 
 def web_host_rollup(spark, sf_dir):
-    """queries() entry: per-host page counts + mean doc length — the
-    crawl-ops rollup (skew-safe: host cardinality is the group count,
-    values pre-aggregate map-side)."""
+    """queries() entry: per-host page counts + total doc length — the
+    crawl-ops rollup.  host is computed inline from the url expression
+    (ONE scan, map + partial agg — a join back to the source table
+    would be a pointless self-join; the plan is scan -> project ->
+    hash-agg with map-side combine)."""
     d = _t(spark, sf_dir, "documents")
-    u = _messy_urls(spark, sf_dir).select("doc_id", host_of(F.col("url")).alias("host"))
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:443/Articles/item-"), F.col("doc_id").cast("string"),
+    )
     return (
-        d.join(u, "doc_id")
+        d.select(host_of(url).alias("host"), "n_chars")
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -147,15 +152,17 @@ SELECT doc_id, url,
 FROM s5
 """
 
-SQL_HOST_ROLLUP = f"""
-WITH u AS ({_MESSY_SQL}),
-h AS (SELECT doc_id,
-             regexp_replace(lower(regexp_extract(url, '^[^/]*//([^/:?#]*)', 1)),
-                            '^www\\.', '') AS host
-      FROM u)
+SQL_HOST_ROLLUP = """
+WITH h AS (
+  SELECT regexp_replace(lower(regexp_extract(
+           'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) ||
+           '.Example.COM:443/Articles/item-' || CAST(doc_id AS VARCHAR),
+           '^[^/]*//([^/:?#]*)', 1)), '^www\\.', '') AS host,
+         n_chars
+  FROM documents)
 SELECT host, COUNT(*) AS n_docs,
        CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sum_chars
-FROM documents JOIN h USING (doc_id)
+FROM h
 GROUP BY host
 """
 

@@ -133,6 +133,28 @@ def test_ann_topk_two_stage_window(spark, ann):
     assert any("part" in w and "query_id" in w for w in windows), windows
 
 
+def test_top_ngrams_two_stage_window(spark):
+    """The per-lang top-k must use the two-stage pattern too — a lang
+    is a skewed key at crawl scale, so no single-task
+    Window.partitionBy(lang) over the whole n-gram distribution."""
+    import __spark_entry__ as entry
+    df = entry.queries()["text_top_ngrams"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _plan(df)
+    import re
+    windows = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert any("part" in w and "lang" in w for w in windows), windows
+
+
+def test_host_rollup_is_single_scan_no_join(spark):
+    """web_host_rollup must be scan -> project -> hash agg: computing
+    the host inline, never a self-join back to the source table."""
+    import __spark_entry__ as entry
+    df = entry.queries()["web_host_rollup"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    assert "Join" not in _plan(df)
+
+
 def test_broadcast_join_on_query_side(spark):
     """ANN scans broadcast the tiny query side — the corpus side must
     never be broadcast or shuffled for the join."""
