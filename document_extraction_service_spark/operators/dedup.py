@@ -345,18 +345,19 @@ def dedup_clusters(spark, sf_dir):
     per cluster, not per pair: A~B, B~C must collapse A,B,C together
     even when A~C was never emitted).
 
-    Algorithm: min-label propagation to fixpoint — label(u) =
-    min(label(u), min over neighbours of label(v)) — the core primitive
-    of the alternating large-star/small-star CC algorithm (Kiveris et
+    Algorithm: min-label propagation + pointer jumping to fixpoint —
+    label(u) = min(label(u), min over neighbours of label(v)), then
+    label(u) = min(label(u), label(label(u))) — the two primitives of
+    the alternating large-star/small-star CC algorithm (Kiveris et
     al., 'Connected Components in MapReduce and Beyond').  Scale shape:
     each iteration shuffles only (node, label) longs, never text; the
     edge set is bounded by the capped pair generation upstream
-    (SHINGLE_DF_CAP); iteration count is the component DIAMETER, and
-    near-dup components are shallow (a cluster of rewrites of one page
-    is near-clique), so convergence is a handful of rounds even at
-    10^12 docs.  localCheckpoint per round truncates the lineage so the
-    plan does not grow with iterations.  Deterministic: min-label is
-    order-independent; the driver loop only checks a converged count."""
+    (SHINGLE_DF_CAP); convergence is O(log diameter) thanks to the
+    jump step (MAX_CC_ITERS=30 covers diameter ~2^30), and near-dup
+    components are shallow anyway.  localCheckpoint per round truncates
+    the lineage so the plan does not grow with iterations.
+    Deterministic: min-label is order-independent; the driver loop only
+    checks a converged count."""
     pairs = jaccard_pairs(_t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
     return connected_components(pairs)
 
@@ -384,11 +385,24 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        stepped = labels.join(prop, labels.doc_id == prop.u, "left").select(
+            "doc_id",
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+        )
+        # pointer jumping: lbl <- lbl(lbl).  A label value is itself a
+        # node id present in `labels` (it is the min of a node and its
+        # neighbours), so chasing one level per round turns plain
+        # neighbour propagation (diameter rounds — a 60-node path would
+        # blow the iteration cap) into O(log diameter): 30 rounds cover
+        # diameter ~2^30.
+        jump = stepped.select(
+            F.col("doc_id").alias("lbl"), F.col("lbl").alias("parent_lbl")
+        )
         new_labels = (
-            labels.join(prop, labels.doc_id == prop.u, "left")
+            stepped.join(jump, "lbl", "left")
             .select(
                 "doc_id",
-                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                F.least("lbl", F.coalesce("parent_lbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )

@@ -240,6 +240,21 @@ def test_connected_components_chain_and_cliques(spark):
     assert rows[10] == (10, 2) and rows[11] == (10, 2)
 
 
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path has diameter 63 > MAX_CC_ITERS: plain neighbour
+    propagation would NOT converge, pointer jumping must (O(log d))."""
+    from document_extraction_service_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in connected_components(pairs).collect()}
+    assert set(rows.values()) == {(0, n)}
+    assert len(rows) == n
+
+
 def test_ann_ivf_recall_and_exact_cosines(spark):
     """IVF hits must carry exact cosines (same as brute force) and
     recall@5 above the nprobe/cells expectation floor."""
