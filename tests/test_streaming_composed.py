@@ -1,0 +1,72 @@
+"""Composed streaming pipeline: crawl drop -> stateful cross-batch
+dedup -> full extraction UDF chain -> parquet sink, in ONE streaming
+query — the shape a continuously-ingesting 100 TB pipeline runs.  The
+composed stream must equal the batch equivalent byte-for-byte on the
+surviving rows."""
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from document_extraction_service_spark.schema import PAGES_SCHEMA
+from document_extraction_service_spark.streaming.stateful_dedup import dedup_stream
+from document_extraction_service_spark.udfs import with_extraction
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _rows(ids, salt=""):
+    return [
+        (f"https://h{i % 3}.example/p{i}", TS,
+         (f"<html><head><title>Doc {i}</title></head><body><h1>Doc {i}</h1>"
+          f"<h2>1. Intro</h2><p>Content {i}{salt} has enough words to "
+          f"survive the density gate of the extractor.</p></body></html>"
+          ).encode(),
+         f"text {i}", "en")
+        for i in ids
+    ]
+
+
+def test_dedup_then_extract_stream_equals_batch(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    # two drops in one availableNow run: 12 fresh + 6 exact re-crawls + 2 new
+    spark.createDataFrame(_rows(range(12)), PAGES_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(_rows(range(6)) + _rows(range(12, 14)), PAGES_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fresh = dedup_stream(stream, n_shards=4).drop("first_seen")
+    q = (
+        with_extraction(fresh)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 14  # each url exactly once despite re-crawls
+    assert got.filter(F.col("status.ok")).count() == 14
+
+    # batch equivalent over the deduped input -> identical extraction bytes
+    batch = with_extraction(
+        spark.createDataFrame(_rows(range(14)), PAGES_SCHEMA)
+    ).select("url", F.col("extraction.extracted_text").alias("t"))
+    stream_texts = {
+        r["url"]: r["t"]
+        for r in got.select(
+            "url", F.col("extraction.extracted_text").alias("t")
+        ).collect()
+    }
+    for r in batch.collect():
+        assert stream_texts[r["url"]] == r["t"], r["url"]
