@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_pipeline",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",

@@ -445,6 +445,36 @@ FROM lbl
 """
 
 
+def dedup_pipeline(spark, sf_dir):
+    """The composed production near-dup pipeline over one corpus scan
+    chain: MinHash-LSH CANDIDATE generation (cheap, capped buckets) ->
+    EXACT Jaccard verification computed ONLY on candidate pairs (the
+    expensive set intersection never touches the n^2 space, only the
+    LSH survivors) -> connected components -> (doc_id, cluster_id,
+    cluster_size) for every doc in a verified near-dup cluster.
+
+    This is how a 100 TB dedup actually runs: sketches prune, exact
+    math decides, clustering collapses transitive chains.  Scale shape:
+    the verify join ships shingle arrays only for candidate docs
+    (bounded by the capped bucket join upstream), jaccard is JVM-side
+    array_intersect — no Python, no cross join anywhere.  Oracle:
+    pinned pure-Python replay (same xxhash64 sketches + set math +
+    union-find; scripts/replay_sketches.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = docs.select("doc_id", _shingle_array().alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    verified = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(verified)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -452,6 +482,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
+    "dedup_pipeline": dedup_pipeline,
 }
 
 ORACLES = {

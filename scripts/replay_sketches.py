@@ -168,6 +168,42 @@ def replay_minhash(docs) -> list[list]:
     return [[a, b, n] for (a, b), n in sorted(pairs.items())]
 
 
+def replay_pipeline(docs) -> list[list]:
+    """dedup_pipeline replay: minhash candidates -> exact (uncapped)
+    Jaccard verify on candidates only -> union-find -> cluster rows."""
+    from document_extraction_service_spark.operators.dedup import JACCARD_THRESHOLD
+
+    cand = [(a, b) for a, b, _ in replay_minhash(docs)]
+    sets = {doc_id: set(_shingles(text)) for doc_id, text in docs}
+    verified = []
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= JACCARD_THRESHOLD:
+            verified.append((a, b))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members: dict[int, list[int]] = {}
+    for node in {n for p in verified for n in p}:
+        members.setdefault(find(node), []).append(node)
+    rows = []
+    for root, nodes in members.items():
+        for n in nodes:
+            rows.append([n, min(nodes), len(nodes)])
+    return sorted(rows)
+
+
 def replay_simhash(docs) -> list[list]:
     from document_extraction_service_spark.operators.dedup import (
         SIMHASH_BUCKET_CAP, SIMHASH_MAX_HAMMING,
@@ -383,6 +419,11 @@ def main() -> None:
             "types": ["BIGINT", "BIGINT", "INTEGER"],
             "keyed": "documents", "sets": {},
         },
+        "dedup_pipeline": {
+            "columns": ["doc_id", "cluster_id", "cluster_size"],
+            "types": ["BIGINT", "BIGINT", "BIGINT"],
+            "keyed": "documents", "sets": {},
+        },
         "ann_lsh_bucketed": {
             "columns": ["query_id", "rank", "neighbor_id", "cosine"],
             "types": ["BIGINT", "INTEGER", "BIGINT", "DOUBLE"],
@@ -404,6 +445,7 @@ def main() -> None:
         print(f"{sf}: doc_key={dk} emb_key={ek}")
         inv["dedup_minhash_lsh"]["sets"][dk] = replay_minhash(docs)
         inv["dedup_simhash"]["sets"][dk] = replay_simhash(docs)
+        inv["dedup_pipeline"]["sets"][dk] = replay_pipeline(docs)
         inv["ann_lsh_bucketed"]["sets"][ek] = replay_ann_lsh(embs)
         inv["ann_ivf"]["sets"][ek] = replay_ann_ivf(embs)
 

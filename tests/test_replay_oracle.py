@@ -73,7 +73,8 @@ def test_sketch_invariants_file_sane():
 
     inv = json.load(open(os.path.join(REPO, "tests", "golden",
                                       "sketch_invariants.json")))
-    keyed = {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_bucketed", "ann_ivf"}
+    keyed = {"dedup_minhash_lsh", "dedup_simhash", "dedup_pipeline",
+             "ann_lsh_bucketed", "ann_ivf"}
     fixture = {"media_features", "media_audio_features",
                "media_frame_sample", "media_resize"}
     assert set(inv) == keyed | fixture
