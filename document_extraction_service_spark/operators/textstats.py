@@ -274,6 +274,89 @@ SELECT lang, rank, trigram, n FROM r WHERE rank <= {TOP_NGRAMS_K}
 """
 
 
+# PII patterns — deliberately backslash-free (CLAUDE.md gotcha #2:
+# Spark SQL literals eat backslashes inside F.expr; DuckDB literals do
+# not — classes like [0-9] sidestep the divergence entirely) and
+# linear-time (no nested quantifier backtracking, gotcha #4).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def text_redact_pii(spark, sf_dir):
+    """PII redaction — the compliance stage every crawl-derived training
+    corpus runs before anything else sees the text.  Emails, phone
+    numbers and IPv4s are counted, then replaced with typed placeholder
+    tokens; the redacted text is fingerprinted.  Pure map (codegen'd
+    JVM regex, no Python, no shuffle).  The fixture corpus contains no
+    PII, so a contact blurb is synthesized per doc from doc_id with JVM
+    expressions — the same construction in the DuckDB oracle, so the
+    match/replace semantics are value-proven in SQL (the
+    web_url_canonicalize pattern).  Order matters: IPs redact before
+    phones (disjoint here), emails first so their dotted hosts are not
+    half-eaten by the IP pattern."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    n = lambda pat: F.size(F.expr(f"regexp_extract_all(raw, '{pat}', 0)"))  # noqa: E731
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return (
+        d.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            n(PII_EMAIL).alias("n_emails"),
+            n(PII_PHONE).alias("n_phones"),
+            n(PII_IPV4).alias("n_ipv4"),
+            red.alias("redacted"),
+        )
+        .select(
+            "doc_id", "n_emails", "n_phones", "n_ipv4",
+            F.md5("redacted").alias("redacted_fp"),
+        )
+    )
+
+
+SQL_REDACT = f"""
+WITH r AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example or call 555-' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              ELSE '' END AS raw
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(raw, '{PII_IPV4}')) AS n_ipv4,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+FROM r
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -281,6 +364,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_top_ngrams": text_top_ngrams,
+    "text_redact_pii": text_redact_pii,
 }
 
 ORACLES = {
@@ -290,4 +374,5 @@ ORACLES = {
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rolling_fingerprint": SQL_ROLLING_FP,
     "text_top_ngrams": SQL_TOP_NGRAMS,
+    "text_redact_pii": SQL_REDACT,
 }

@@ -272,3 +272,21 @@ def test_ann_ivf_recall_and_exact_cosines(spark):
     again = {(r["query_id"], r["rank"]): r["neighbor_id"]
              for r in entry.queries()["ann_ivf"](spark, SF_DIR).collect()}
     assert again == {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf}
+
+
+def test_redact_pii_semantics(spark):
+    """Every doc gains exactly one synthesized email + phone; IPs only
+    on doc_id % 3 == 0; the fingerprint is over the REDACTED text (so
+    equal raw counts with different spans still differ)."""
+    rows = entry.queries()["text_redact_pii"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r["n_emails"] == 1
+        assert r["n_phones"] == 1
+        assert r["n_ipv4"] == (1 if r["doc_id"] % 3 == 0 else 0)
+    # The PII was the only per-doc distinguishing material for docs
+    # sharing a text prefix: after redaction those COLLIDE — direct
+    # evidence the identifying tokens are gone — while most docs stay
+    # distinct through their text.
+    n_distinct = len({r["redacted_fp"] for r in rows})
+    assert 400 < n_distinct < len(rows)
