@@ -36,7 +36,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1")
 OUT_PATH = os.path.join(REPO, "tests", "golden", "sketch_invariants.json")
 
 # --- spec-exact XXH64 (pure Python; matches Spark's F.xxhash64) -------------

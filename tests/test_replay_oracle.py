@@ -66,9 +66,9 @@ def test_fold_cosine_matches_jvm_aggregate(spark):
 
 
 def test_sketch_invariants_file_sane():
-    """The pinned file must cover all 8 replayed queries with both sf
-    keys for table-derived ones (the driver gate runs at sf0.01, the
-    test suite at sf0.001)."""
+    """The pinned file must cover all 9 replayed queries with all three
+    sf keys for table-derived ones (driver gate sf0.01, test suite
+    sf0.001, bench sf0.1)."""
     import json
 
     inv = json.load(open(os.path.join(REPO, "tests", "golden",
@@ -79,7 +79,7 @@ def test_sketch_invariants_file_sane():
                "media_frame_sample", "media_resize"}
     assert set(inv) == keyed | fixture
     for name in keyed:
-        assert len(inv[name]["sets"]) == 2, name
+        assert len(inv[name]["sets"]) == 3, name
         assert all(rows for rows in inv[name]["sets"].values()), name
     for name in fixture:
         assert inv[name]["rows"], name
