@@ -11,9 +11,15 @@ cross-document scale):
   * SimHash            — 64-bit sketch + banded hamming candidate join
 
 Exact/Jaccard have DuckDB oracles (same arithmetic both engines).
-MinHash/SimHash depend on xxhash64 (no DuckDB equivalent) -> rows-only
-driver check; tests/test_operators_oracle.py instead asserts their
-candidate sets against the exact-Jaccard ground truth.
+MinHash/SimHash depend on xxhash64 (no native DuckDB equivalent), so
+their oracles are PINNED PURE-PYTHON REPLAYS: scripts/replay_sketches.py
+re-computes each query without Spark (spec-exact XXH64, bit-identical
+to F.xxhash64 per tests/test_replay_oracle.py) and pins the rows per
+input content in tests/golden/sketch_invariants.json, which
+__spark_entry__ serves to the driver as VALUES oracles — full
+rows+schema+hash verification, not rows-only.  tests/
+test_operators_oracle.py additionally asserts their candidate sets
+against the exact-Jaccard ground truth (recall/precision).
 """
 
 from __future__ import annotations
@@ -187,8 +193,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     signal (identical docs are dedup_exact's job), so the pair space is
     bounded at LSH_BANDS * n_buckets * cap^2 regardless of n.  Pairs are
     generated JVM-side by a double explode over the bounded array — no
-    skewed self-join key.  Rows-only driver check (no xxhash64 in
-    DuckDB); recall/precision vs exact Jaccard asserted in tests."""
+    skewed self-join key.  Oracle: pinned pure-Python XXH64 replay
+    (scripts/replay_sketches.py — full value verification); recall/
+    precision vs exact Jaccard additionally asserted in tests."""
     sh = _shingles(_t(spark, sf_dir, "documents"))
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -227,7 +234,8 @@ def dedup_simhash(spark, sf_dir):
     hamming distance <= SIMHASH_MAX_HAMMING on collisions.  Candidate
     buckets are bounded postings lists (SIMHASH_BUCKET_CAP) so the
     within-bucket pair space stays constant-bounded at any corpus
-    size — see the inline note.  Rows-only driver check."""
+    size — see the inline note.  Oracle: pinned pure-Python XXH64
+    replay (scripts/replay_sketches.py — full value verification)."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -459,7 +467,18 @@ def dedup_pipeline(spark, sf_dir):
     (bounded by the capped bucket join upstream), jaccard is JVM-side
     array_intersect — no Python, no cross join anywhere.  Oracle:
     pinned pure-Python replay (same xxhash64 sketches + set math +
-    union-find; scripts/replay_sketches.py)."""
+    union-find; scripts/replay_sketches.py).
+
+    NOTE (deliberate semantic choice): the verify step computes Jaccard
+    over the FULL per-doc shingle universe, while dedup_ngram_jaccard /
+    dedup_clusters compute it over the SHINGLE_DF_CAP-capped universe.
+    The cap exists only to bound the postings self-product when pairs
+    are ENUMERATED via the inverted index; here the pairs are already
+    enumerated by LSH, so the exact full-universe Jaccard is both
+    affordable and the truer similarity.  Near the 0.5 threshold the
+    two definitions can disagree on corpora with hot shingles (df >
+    SHINGLE_DF_CAP), so pipeline clusters need not exactly equal
+    dedup_clusters — by design, and mirrored in the pinned replay."""
     docs = _t(spark, sf_dir, "documents")
     cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     sh = docs.select("doc_id", _shingle_array().alias("sh"))

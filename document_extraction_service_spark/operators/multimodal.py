@@ -366,7 +366,9 @@ def media_from_pages(spark: SparkSession, n: int = 300) -> DataFrame:
 
 def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: end-to-end media pipeline over 300 synthetic
-    blobs (rows-only check — payloads are built in-Spark).  Returns the
+    blobs (payloads built in-Spark from the fixture corpus — a pure
+    function of (seed, i), so the oracle is a pinned pure-Python replay
+    of the md5-derived fakes, scripts/replay_sketches.py).  Returns the
     feature rows plus deterministic fake decode values."""
     media = media_from_pages(spark, 300)
     return image_features(media).select(
@@ -376,7 +378,7 @@ def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: audio stage over the same synthetic blobs
-    (rows-only check)."""
+    (pinned-replay oracle, scripts/replay_sketches.py)."""
     return audio_features(media_from_pages(spark, 300)).select(
         "media_id", "kind", "n_bytes", "magic",
         "sample_rate", "duration_s", "rms", "decode_ok",
@@ -385,14 +387,14 @@ def media_audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: frame sampling over the synthetic 'video' blobs
-    (rows-only check; row-expanding stage)."""
+    (pinned-replay oracle; row-expanding stage)."""
     media = media_from_pages(spark, 300).filter(F.col("kind") == "video")
     return frame_sample(media, every_k=8)
 
 
 def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: resize stage over the synthetic 'image' blobs
-    (rows-only check)."""
+    (pinned-replay oracle)."""
     media = media_from_pages(spark, 300).filter(F.col("kind") == "image")
     return image_resize(media, max_side=256)
 
@@ -403,4 +405,4 @@ QUERIES = {
     "media_audio_features": media_audio_features_query,
     "media_frame_sample": media_frame_sample_query,
 }
-ORACLES: dict[str, str] = {}  # payloads synthesized in-Spark: rows-only
+ORACLES: dict[str, str] = {}  # oracles are pinned replays served by __spark_entry__

@@ -227,7 +227,9 @@ def ann_lsh_bucketed(spark, sf_dir, tables: int = LSH_TABLES,
     The 10^12-scale path: corpus-scaled planes keep buckets selective
     (see lsh_candidates); signatures are one numpy matmul per Arrow
     batch; rerank is partition-local top-k then a k·P merge, no
-    single-task funnel.  Rows-only driver check; recall vs brute force
+    single-task funnel.  Oracle: pinned pure-Python replay (numpy
+    signatures + left-fold cosine rerank, scripts/replay_sketches.py —
+    full value verification); recall vs brute force additionally
     asserted in tests at two (planes, tables) points."""
     cand = lsh_candidates(spark, sf_dir, tables=tables, planes=planes)
     scored = cand.select(
@@ -271,8 +273,10 @@ def ann_ivf(spark, sf_dir):
     per-row JVM cosine expression trees measured ~6x slower via
     codegen explosion — same lesson as the LSH signatures); candidates
     shuffle only by cell id, bounded by the probed cells' population
-    (n * nprobe / cells in expectation), never the corpus.  Rows-only
-    driver check; recall vs brute force asserted in tests."""
+    (n * nprobe / cells in expectation), never the corpus.  Oracle:
+    pinned pure-Python replay (scripts/replay_sketches.py — full value
+    verification); recall vs brute force additionally asserted in
+    tests."""
     cents = _ivf_centroids(spark, sf_dir)
     cmat = np.array([cv for _, cv in cents], dtype=np.float64).T  # (dims, C)
     cmat = cmat / np.linalg.norm(cmat, axis=0, keepdims=True)
@@ -328,7 +332,9 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk_bruteforce": SQL_ANN_TOPK,
-    # ann_lsh_bucketed / ann_ivf: sketch/quantizer candidates are not
-    # SQL-reproducible cheaply -> rows-only check; recall vs brute
-    # force asserted in tests
+    # ann_lsh_bucketed / ann_ivf: sketch/quantizer candidates have no
+    # cheap native-SQL form, so their oracles are pinned pure-Python
+    # replays served as VALUES SQL by __spark_entry__ (full value
+    # verification; scripts/replay_sketches.py); recall vs brute force
+    # additionally asserted in tests
 }
