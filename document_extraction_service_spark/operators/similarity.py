@@ -122,15 +122,26 @@ SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {TOP_K}
 """
 
 
+LSH_MAX_PLANES = 62  # bucket ids are signed int64: 62 sign bits + the
+# hamming-1 probe XOR (1 << j) must stay below 2^63.  62 planes keep
+# the expected bucket at LSH_TARGET_BUCKET_POP up to ~1.5e20 rows —
+# far past any corpus; the clamp is a type-safety bound, not a design
+# limit.
+
+
 def _auto_planes(n: int) -> int:
     """Corpus-scaled plane count: keep the expected bucket population
     (n / 2^planes) at ~LSH_TARGET_BUCKET_POP (see the scaling-rule note
-    at the top constants)."""
+    at the top constants).  Clamped to LSH_MAX_PLANES so bucket ids
+    always fit a signed 64-bit long."""
     import math
 
     if n <= LSH_TARGET_BUCKET_POP:
         return LSH_MIN_PLANES
-    return max(LSH_MIN_PLANES, math.ceil(math.log2(n / LSH_TARGET_BUCKET_POP)))
+    return min(
+        LSH_MAX_PLANES,
+        max(LSH_MIN_PLANES, math.ceil(math.log2(n / LSH_TARGET_BUCKET_POP))),
+    )
 
 
 def _planes(dims: int = 64, tables: int = LSH_TABLES, planes: int = LSH_MIN_PLANES):
@@ -158,7 +169,12 @@ def _signatures_udf(tables: int = LSH_TABLES, planes: int = LSH_MIN_PLANES):
     slower via codegen explosion)."""
     pow2 = np.array([2**k for k in range(planes)], dtype=np.int64)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    # int64 buckets end-to-end: _auto_planes exceeds 31 planes around
+    # n ~ 7e10 (35 planes at the documented 10^12 scale), where an
+    # int32 bucket would wrap and the 1 << j probe literal would
+    # overflow IntegerType — the corpus-scaling rule must survive its
+    # own design point.
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(embs: pd.Series) -> pd.Series:
         pl = _planes(tables=tables, planes=planes)
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
@@ -166,7 +182,7 @@ def _signatures_udf(tables: int = LSH_TABLES, planes: int = LSH_MIN_PLANES):
             return pd.Series([], dtype=object)
         bits = (mat @ pl) >= 0  # (B, T*P)
         bits = bits.reshape(len(mat), tables, planes)
-        buckets = (bits * pow2).sum(axis=2).astype("int32")  # (B, T)
+        buckets = (bits * pow2).sum(axis=2).astype("int64")  # (B, T)
         return pd.Series(list(buckets))
 
     return sig
@@ -201,7 +217,12 @@ def lsh_candidates(spark, sf_dir, tables: int = LSH_TABLES,
     # rows per query, all broadcast (tiny)
     probe_arr = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
+        # long literal: at >31 planes (corpus ~7e10+) 1 << j exceeds
+        # IntegerType; buckets are int64 so the XOR stays in-type
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+            for j in range(planes)
+        ],
     )
     q = (
         buckets.filter(F.col("vec_id") < N_QUERIES)

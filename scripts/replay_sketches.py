@@ -284,7 +284,9 @@ def replay_ann_lsh(embs) -> list[list]:
     pow2 = np.array([2 ** k for k in range(planes)], dtype=np.int64)
     bits = (mat @ pl) >= 0
     bits = bits.reshape(len(embs), S.LSH_TABLES, planes)
-    buckets = (bits * pow2).sum(axis=2).astype("int32")  # (N, T)
+    buckets = (bits * pow2).sum(axis=2).astype("int64")  # (N, T) — int64
+    # like the UDF (values identical below 31 planes; dtype mirrored
+    # so the replay survives the >31-plane regime too)
 
     by_tbl_bucket: dict[tuple[int, int], list[int]] = {}
     for row, vid in enumerate(ids):

@@ -221,6 +221,18 @@ def test_lsh_scaling_second_point_recall_and_selectivity(spark):
     # crawl-scale corpora get enough planes to keep buckets bounded
     assert similarity._auto_planes(n) == similarity.LSH_MIN_PLANES
     assert similarity._auto_planes(10**9) == 25
+    # the documented design point (10^12 rows) needs 35 planes — past
+    # int32; buckets are int64 end-to-end so the rule survives it, and
+    # the clamp keeps the probe XOR literal inside signed-long range
+    assert similarity._auto_planes(10**12) == 35
+    assert similarity._auto_planes(10**21) == similarity.LSH_MAX_PLANES
+
+    # and the 35-plane regime actually EXECUTES (int64 buckets + long
+    # probe literals; int32 buckets wrapped here and 1 << 34 overflowed
+    # IntegerType) — tiny corpus, so candidates are near-zero, but the
+    # plan must build and run
+    cand35 = similarity.lsh_candidates(spark, SF_DIR, tables=2, planes=35)
+    assert cand35.count() >= 0
 
 
 def test_connected_components_chain_and_cliques(spark):
