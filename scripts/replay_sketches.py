@@ -182,6 +182,12 @@ def replay_pipeline(docs) -> list[list]:
         jac = inter / (len(sets[a]) + len(sets[b]) - inter)
         if jac >= JACCARD_THRESHOLD:
             verified.append((a, b))
+    return _union_find_rows(verified)
+
+
+def _union_find_rows(verified: list[tuple[int, int]]) -> list[list]:
+    """verified pair list -> sorted (node, cluster_id, cluster_size)
+    rows (the connected_components output shape)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -346,6 +352,45 @@ def replay_ann_ivf(embs) -> list[list]:
     return _topk(cands, S.TOP_K)
 
 
+def replay_emb_pipeline(embs) -> list[list]:
+    """dedup_embedding_pipeline replay: all-pairs sign-LSH candidates
+    (numpy signatures, capped buckets) -> left-fold cosine verify ->
+    union-find -> (vec_id, cluster_id, cluster_size)."""
+    import numpy as np
+
+    from document_extraction_service_spark.operators import similarity as S
+    from document_extraction_service_spark.operators.dedup import (
+        EMB_COS_THRESHOLD, EMB_PIPE_BUCKET_CAP,
+    )
+
+    ids = [vid for vid, _, _ in embs]
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for _, v, _ in embs])
+    planes = S._auto_planes(len(embs))
+    pl = S._planes(tables=S.LSH_TABLES, planes=planes)
+    pow2 = np.array([2 ** k for k in range(planes)], dtype=np.int64)
+    bits = (mat @ pl) >= 0
+    bits = bits.reshape(len(embs), S.LSH_TABLES, planes)
+    buckets = (bits * pow2).sum(axis=2).astype("int64")
+
+    posts: dict[tuple[int, int], set[int]] = {}
+    for row, vid in enumerate(ids):
+        for t in range(S.LSH_TABLES):
+            posts.setdefault((t, int(buckets[row, t])), set()).add(vid)
+    cand: set[tuple[int, int]] = set()
+    for vs in posts.values():
+        if 2 <= len(vs) <= EMB_PIPE_BUCKET_CAP:
+            sv = sorted(vs)
+            for ai in range(len(sv)):
+                for bi in range(ai + 1, len(sv)):
+                    cand.add((sv[ai], sv[bi]))
+    vecs = {vid: [float(x) for x in mat[row]] for row, vid in enumerate(ids)}
+    verified = [
+        (a, b) for a, b in sorted(cand)
+        if _fold_cosine(vecs[a], vecs[b]) >= EMB_COS_THRESHOLD
+    ]
+    return _union_find_rows(verified)
+
+
 # --- media replays (mirror operators/multimodal.py fakes over fixtures) ------
 
 def _media_rows(n: int = 300):
@@ -437,6 +482,11 @@ def main() -> None:
             "types": ["BIGINT", "INTEGER", "BIGINT", "DOUBLE"],
             "keyed": "embeddings", "sets": {},
         },
+        "dedup_embedding_pipeline": {
+            "columns": ["vec_id", "cluster_id", "cluster_size"],
+            "types": ["BIGINT", "BIGINT", "BIGINT"],
+            "keyed": "embeddings", "sets": {},
+        },
     }
     for sf in SF_DIRS:
         d = pd.read_parquet(os.path.join(sf, "documents.parquet"))
@@ -451,6 +501,7 @@ def main() -> None:
         inv["dedup_pipeline"]["sets"][dk] = replay_pipeline(docs)
         inv["ann_lsh_bucketed"]["sets"][ek] = replay_ann_lsh(embs)
         inv["ann_ivf"]["sets"][ek] = replay_ann_ivf(embs)
+        inv["dedup_embedding_pipeline"]["sets"][ek] = replay_emb_pipeline(embs)
 
     media = replay_media()
     inv["media_features"] = {
