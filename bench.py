@@ -7,16 +7,40 @@ line:
 
 The headline metric is extraction throughput (docs/sec) over the
 deterministic synthetic pages corpus (BASELINE.json metric), measured
-on the full job path (generate -> repartition -> extract -> write).
-Per-query wall seconds for the operator suite are reported under
-"queries".  Scaling-efficiency evidence (local[8] vs local[32]) is
+on the full job path (bucketed scan -> extract -> write) as the MEDIAN
+of SPARK_GRAFT_BENCH_REPS (default 5) repetitions.
+
+SELF-EVIDENCING (VERDICT r3 next-round #1): this VM is bimodal on a
+~10-minute timescale and its slow mode scales with job width (CLAUDE.md
+gotchas #1/#17: identical 150k-row local[32] runs measured 921 vs 5,390
+docs/s ten minutes apart).  So every repetition carries its own host
+evidence IN THE EMITTED JSON:
+
+  * a memory-bandwidth probe (concurrent width-wide 128MB copies) run
+    immediately BEFORE and immediately AFTER the rep — quiet host
+    ~0.25s, degraded windows multiply it.  Bandwidth, not ALU: pure
+    arithmetic scales perfectly even in degraded windows, so only a
+    bandwidth probe sees the mode that slows a string/Arrow/parquet
+    engine.  The AFTER probe matters because the mode can flip
+    mid-run (r3 bench slow samples carried quiet BEFORE probes).
+  * the /proc/stat CPU split (user/sys/iowait/steal/idle %) across the
+    rep — distinguishes hypervisor steal from GC/sys pathology.
+
+A slow rep with degraded probes is host weather; a slow rep with quiet
+probes on both sides and low steal would be an engine regression.  The
+headline median plus per-rep evidence makes the artifact judgeable on
+its own.  Per-query wall seconds for the operator suite are reported
+under "queries" (single pass, probes around the suite).
+Scaling-efficiency evidence (local[2] vs local[8] vs local[32]) is
 produced separately by scripts/scaling_bench.py -> BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -24,6 +48,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "48000"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 # operator queries timed at sf_dir (a representative cross-section:
 # heavy shuffle agg, window, joins, dedup sketches, ANN, text stats)
@@ -38,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_pipeline",
+    "dedup_embedding_pipeline",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",
@@ -46,6 +72,41 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_top_ngrams",
 ]
+
+
+def _membw(n_mb: int = 64) -> float:
+    """Seconds for 2 copies of an n_mb buffer (memory-bandwidth probe,
+    same kernel as scripts/scaling_bench.py)."""
+    buf = bytes(n_mb * 1024 * 1024)
+    t0 = time.perf_counter()
+    x = bytearray(buf)
+    y = bytes(x)
+    del x, y
+    return time.perf_counter() - t0
+
+
+def host_probe(width: int) -> float:
+    """Width-wide concurrent membw probe (seconds; ~0.25s quiet at 32
+    on this box).  Forked workers only copy buffers — safe next to the
+    running JVM (a separate process)."""
+    with mp.Pool(width) as p:
+        t0 = time.perf_counter()
+        p.map(_membw, [64] * width)
+        return time.perf_counter() - t0
+
+
+def cpu_ticks() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def cpu_split(t0: list[int], t1: list[int]) -> dict[str, float]:
+    d = [b - a for a, b in zip(t0, t1)]
+    total = sum(d) or 1
+    lab = dict(zip(("user", "nice", "sys", "idle", "iowait", "irq", "sirq",
+                    "steal"), d))
+    return {k: round(100.0 * lab.get(k, 0) / total, 1)
+            for k in ("user", "sys", "iowait", "steal", "idle")}
 
 
 def main() -> None:
@@ -62,8 +123,8 @@ def main() -> None:
 
     # headline: extraction job throughput over the synthetic pages corpus,
     # read from a bucketed table (the map-only scale shape; input
-    # materialization is untimed).  Two runs, best-of: this host shows
-    # bursty hypervisor steal, and noise only ever subtracts.
+    # materialization is untimed).
+    reps: list[dict] = []
     with tempfile.TemporaryDirectory() as tmp:
         from pyspark.sql import functions as F
 
@@ -77,11 +138,9 @@ def main() -> None:
             .write.partitionBy("bucket")
             .parquet(inp)
         )
-        # 3 trials, MEDIAN docs/sec: best-of-2 hides warm-up asymmetry
-        # and this host's steal bursts swing single runs 2x (CLAUDE.md
-        # gotcha #1) — the median is the round-over-round comparable.
-        trials = []
-        for trial in range(3):
+        for trial in range(REPS):
+            p_before = host_probe(cpus)
+            c0 = cpu_ticks()
             t0 = time.time()
             m = run_job(
                 spark,
@@ -90,12 +149,22 @@ def main() -> None:
                 os.path.join(tmp, f"lineage{trial}"),
                 f"bench{trial}",
             )
-            queries[f"extract_job_t{trial}"] = round(time.time() - t0, 3)
-            trials.append(m)
-        trials.sort(key=lambda m: m["docs_per_sec"])
-        m = trials[len(trials) // 2]
-    docs_per_sec = m["docs_per_sec"]
+            wall = round(time.time() - t0, 3)
+            c1 = cpu_ticks()
+            p_after = host_probe(cpus)
+            queries[f"extract_job_t{trial}"] = wall
+            reps.append({
+                "docs_per_sec": round(m["docs_per_sec"], 2),
+                "wall_s": wall,
+                "probe_before_s": round(p_before, 2),
+                "probe_after_s": round(p_after, 2),
+                "cpu_pct": cpu_split(c0, c1),
+                "n_ok": m["n_ok"],
+            })
+        med = statistics.median(r["docs_per_sec"] for r in reps)
+        n_ok = reps[0]["n_ok"]
 
+    suite_probe_before = host_probe(cpus)
     qmap = entry.queries()
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -105,20 +174,31 @@ def main() -> None:
         # md5/regex/UDF work entirely (CLAUDE.md gotcha #7)
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
+    suite_probe_after = host_probe(cpus)
 
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "extraction_docs_per_sec",
-                "value": round(docs_per_sec, 2),
+                "value": round(med, 2),
                 "unit": "docs/sec",
                 "total_sec": total,
                 "queries": queries,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "bench_pages": BENCH_PAGES,
-                "n_ok": m["n_ok"],
+                "n_ok": n_ok,
+                "reps": reps,
+                "suite_probe_s": [round(suite_probe_before, 2),
+                                  round(suite_probe_after, 2)],
+                "probe_note": (
+                    f"probe_*_s = {cpus}-wide concurrent 128MB-copy membw "
+                    "probe seconds (quiet host ~0.25s at 32-wide; degraded "
+                    "windows multiply it); cpu_pct = /proc/stat split over "
+                    "the rep; headline value = median docs/sec of "
+                    f"{REPS} reps"
+                ),
             }
         )
     )
