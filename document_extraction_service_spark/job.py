@@ -20,8 +20,11 @@ Scale design (north_rule requirements, mapped):
     lineage table records (run_id, bucket, input_fingerprint, n_ok,
     n_failed); --resume anti-joins finished buckets for the same input
     fingerprint (SURVEY §4.4, Iceberg-snapshot semantics on a parquet
-    fallback — this container ships no Iceberg runtime jars, the
-    catalog calls are isolated in read_pages/write_* for swap-in).
+    fallback — this container ships no Iceberg runtime jars).  The
+    REAL Iceberg path (writeTo create/overwritePartitions/append,
+    snapshot-id fingerprints, snapshot-checkpoint resume) is
+    iceberg_sink.run_job_iceberg, exercised end-to-end by
+    tests/test_iceberg.py whenever SPARK_GRAFT_ICEBERG_JARS is set.
   * metrics: n_ok/n_failed derived from the lineage aggregation over
     the committed output (a column-pruned scan; .observe() was measured
     2x slower on the write stage and removed).
