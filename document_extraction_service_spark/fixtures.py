@@ -10,7 +10,7 @@ structured extraction) with the corpus synthesized instead of shipped.
 
 Families and shares (FIXTURES.md §2):
     article 40% | boilerplate 20% | tabular 15% | figure 10%
-    | metadata 10% | edge 5%
+    | metadata 10% | edge 3% | adversarial 3%
 """
 
 from __future__ import annotations
@@ -28,9 +28,11 @@ HOSTS = ["news.alpha-press.example"] + [
     for k, tld in zip(range(1, 50), (["com", "org", "net", "io", "de"] * 10))
 ]
 
-FAMILIES = ("article", "boilerplate", "tabular", "figure", "metadata", "edge")
+FAMILIES = ("article", "boilerplate", "tabular", "figure", "metadata",
+            "edge", "adversarial")
 _FAMILY_CUM = ((0.40, "article"), (0.60, "boilerplate"), (0.75, "tabular"),
-               (0.85, "figure"), (0.95, "metadata"), (1.01, "edge"))
+               (0.85, "figure"), (0.95, "metadata"), (0.98, "edge"),
+               (1.01, "adversarial"))
 
 _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
@@ -409,6 +411,84 @@ def _page_edge(rng: random.Random, host: str, lang: str, i: int) -> tuple[str, s
     return f"<html><body><h1>{title}</h1><p>{p}</p></body></html>", p, title
 
 
+def _page_adversarial(rng: random.Random, host: str, lang: str,
+                      i: int) -> tuple[str, str, str]:
+    """Hostile-web family (VERDICT r3 next-round #6): the real crawl's
+    worst citizens, each deterministic and bounded.  Extraction must
+    stay deterministic and non-crashing on every kind; the per-kind
+    behavior is pinned by goldens + the extract_corpus invariants."""
+    bank = _EN_WORDS
+    kind = i % 5
+    title = _title(rng, bank)
+    p1 = _paragraph(rng, bank)
+    if kind == 0:
+        # unclosed + misnested tags: <p>/<div> never closed, <b><i>
+        # closed in the wrong order, document cut before </body>
+        p2 = _paragraph(rng, bank)
+        body = (
+            f"<div class=wrap><p>{p1}<p><b>bold <i>misnested</b> tail?</i>"
+            f"<div><p>{p2}"
+        )
+        return (
+            f"<html><head><title>{title}</title><body><h1>{title}</h1>{body}",
+            f"{title} {p1} {p2}",
+            title,
+        )
+    if kind == 1:
+        # 400-deep div soup, every level carrying an attribute — depth
+        # beyond any sane page; parser must not recurse or re-scan
+        depth = 400
+        open_tags = "".join(f'<div class="lv{d % 7}" data-d="{d}">'
+                            for d in range(depth))
+        return (
+            f"<html><body><h1>{title}</h1>{open_tags}<p>{p1}</p>"
+            + "</div>" * depth + "</body></html>",
+            f"{title} {p1}",
+            title,
+        )
+    if kind == 2:
+        # attribute/script bombs: one tag dragging a 64KB attribute, a
+        # 32KB inline script and a 16KB style — all must be skipped
+        # without quadratic scanning; the real paragraphs must survive
+        blob = "A" * 65536
+        js = "var x=1;" * 4096
+        css = ".c{color:#000}" * 1170
+        p2 = _paragraph(rng, bank)
+        return (
+            f"<html><head><title>{title}</title><style>{css}</style>"
+            f"</head><body><h1>{title}</h1>"
+            f'<div data-blob="{blob}" class="payload"><p>{p1}</p></div>'
+            f"<script>{js}</script><p>{p2}</p></body></html>",
+            f"{title} {p1} {p2}",
+            title,
+        )
+    if kind == 3:
+        # nested tables (data table inside a cell of a layout table,
+        # itself inside another layout cell) — the classic 2000s layout
+        # page; plus a paragraph outside
+        inner = (
+            "<table><caption>Table 1. nested measurements.</caption>"
+            "<tr><th>k</th><th>v</th></tr>"
+            "<tr><td>alpha</td><td>1.25</td></tr>"
+            "<tr><td>beta</td><td>2.5</td></tr></table>"
+        )
+        mid = f"<table><tr><td>menu</td><td>{inner}</td></tr></table>"
+        outer = f"<table><tr><td>{mid}</td></tr></table>"
+        return (
+            f"<html><body><h1>{title}</h1>{outer}<p>{p1}</p></body></html>",
+            f"{title} {p1}",
+            title,
+        )
+    # kind == 4: utf-16-LE page with BOM (caller encodes; the declared
+    # meta says utf-8 — the BOM must win, reference X7 charset sniff)
+    return (
+        f'<html><head><meta charset="utf-8"><title>{title}</title></head>'
+        f"<body><h1>{title}</h1><p>{p1}</p></body></html>",
+        f"{title} {p1}",
+        title,
+    )
+
+
 _BUILDERS = {
     "article": _page_article,
     "boilerplate": _page_boilerplate,
@@ -438,12 +518,26 @@ def gen_page(i: int, seed: int = SEED) -> dict:
 
     if family == "edge":
         html_str, crawl_text, _t = _page_edge(rng, host, lang or "en", i)
+    elif family == "adversarial":
+        html_str, crawl_text, _t = _page_adversarial(rng, host, lang or "en", i)
+        if i % 5 == 4:
+            # utf-16-LE with BOM, despite the page's own utf-8 meta —
+            # the BOM must win the charset sniff (reference X7)
+            html = b"\xff\xfe" + html_str.encode("utf-16-le")
+            url = f"https://{host}/{family}/page-{i:08d}.html"
+            return {
+                "url": url,
+                "warc_ts": _EPOCH + _dt.timedelta(seconds=17 * i),
+                "html": html,
+                "text": ("[crawl] " + crawl_text[:800]) if crawl_text else "",
+                "lang": lang,
+            }
     else:
         html_str, crawl_text, _t = _BUILDERS[family](rng, host, lang or "en")
 
     # charset: ~2% declared windows-1252 with cp1252-only chars
     enc_roll = rng.random()
-    if enc_roll < 0.02 and family != "edge":
+    if enc_roll < 0.02 and family not in ("edge", "adversarial"):
         html_str = html_str.replace(
             '<meta charset="utf-8">', '<meta charset="windows-1252">'
         ).replace("</h1>", " — “quoted” €</h1>", 1)

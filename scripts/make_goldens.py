@@ -17,7 +17,8 @@ from document_extraction_service_spark import fixtures as fx
 from document_extraction_service_spark.extract.pipeline import extract_document
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
-PER_FAMILY = {"article": 10, "boilerplate": 8, "tabular": 8, "figure": 8, "metadata": 8, "edge": 8}
+PER_FAMILY = {"article": 10, "boilerplate": 8, "tabular": 8, "figure": 8,
+              "metadata": 8, "edge": 8, "adversarial": 10}
 SCAN_LIMIT = 3000
 
 

@@ -22,7 +22,8 @@ def test_family_shares():
     assert 0.35 < fams["article"] / 2000 < 0.45
     assert 0.15 < fams["boilerplate"] / 2000 < 0.25
     assert 0.10 < fams["tabular"] / 2000 < 0.20
-    assert 0.02 < fams["edge"] / 2000 < 0.09
+    assert 0.01 < fams["edge"] / 2000 < 0.06
+    assert 0.01 < fams["adversarial"] / 2000 < 0.06
 
 
 def test_host_skew():
