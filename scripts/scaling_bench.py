@@ -236,7 +236,14 @@ measured over the job wall clock (bucketed scan -> extract UDF ->
 partitioned parquet write, the map-only design shape; on a real
 cluster the input already exists, so generation is not part of the
 job), excluding JVM/session startup.  {REPS} interleaved run triples;
-per-config median reported; every sample listed.
+per-config median reported; every sample listed.  Corpus sized so the
+FASTEST config's wall stays >= ~60s: at 150k rows local[8] finished in
+~40s, of which the serial driver fraction (plan + input fingerprint +
+Python-worker spawn, ~2s) is ~5% — pure Amdahl drag that under-reports
+the 4N config (an r4 controlled pair measured 2->8 efficiency 0.74 at
+150k vs 1.02 at 400k in adjacent windows).  On a real cluster the
+serial fraction amortizes over hours of input per executor, so the
+larger corpus is the faithful model.
 
 | config | median docs/sec | samples (docs/sec) | host membw probe before/after each sample ({max(CORES)}-wide concurrent 128MB-copy s; ~0.25s = quiet host, degraded windows multiply it — a slow sample with a degraded probe on EITHER side is host weather, not engine) |
 |---|---|---|---|
