@@ -68,9 +68,11 @@ BENCH_QUERIES = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "curate_corpus",
+    "curate_decontaminate",
     "text_langid",
     "text_fingerprint",
     "text_top_ngrams",
+    "text_repetition",
 ]
 
 

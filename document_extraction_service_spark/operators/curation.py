@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textstats import LANG_MARKERS, TOKEN_RE, TOKEN_RE_SPARK, _marker_hits
+from .textstats import (
+    LANG_MARKERS,
+    TOKEN_RE,
+    TOKEN_RE_SPARK,
+    _dup_frac,
+    _marker_hits,
+    _max_run,
+    _sql_ngrams,
+    _word_ngrams,
+)
 
 QUALITY_MIN = 0.5   # floored score threshold (same floored value both engines)
 
@@ -170,11 +179,148 @@ FROM s
 WHERE frac < {_RATE_CASE}
 """
 
+# --- composite quality gate (Gopher/Dolma-style drop rules) -----------------
+# Published crawl-filtering practice expresses quality as a cascade of
+# cheap hard rules with REASON CODES (so dropped mass is attributable
+# per rule — C4, Gopher, Dolma all report per-rule drop statistics).
+GATE_MIN_WORDS = 15        # shorter docs carry no training signal
+GATE_MAX_RUN = 4           # "spam spam spam spam" degeneracy
+GATE_MAX_DUP_BIGRAM = 0.2  # Gopher-style duplicate-n-gram ceiling
+
+
+def curate_quality_gate(spark, sf_dir):
+    """Composite keep/drop gate with per-rule reason codes — the first
+    failing rule wins (cascade order: length, run degeneracy, bigram
+    repetition, language-signal floor).  Pure map (one scan, codegen'd
+    expressions, no shuffle): at 10^12 rows the gate costs what the
+    scan costs, and the reason column aggregates into the per-rule
+    drop report every corpus card publishes."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    total_hits = None
+    for lg in LANG_MARKERS:
+        h = _marker_hits(lg)
+        total_hits = h if total_hits is None else total_hits + h
+    reason = (
+        F.when(n_words < GATE_MIN_WORDS, F.lit("too_short"))
+        .when(_max_run() >= GATE_MAX_RUN, F.lit("long_run"))
+        .when(_dup_frac(_word_ngrams(2)) > GATE_MAX_DUP_BIGRAM,
+              F.lit("dup_bigrams"))
+        .when(total_hits == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        reason.alias("fail_reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+_GATE_HITS = " + ".join(
+    "len(regexp_extract_all(lower(text), '\\b("
+    + "|".join(LANG_MARKERS[lg]) + r")\b'))"
+    for lg in LANG_MARKERS
+)
+SQL_QUALITY_GATE = f"""
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         {_GATE_HITS} AS total_hits
+  FROM documents),
+s AS (
+  SELECT doc_id, len(t) AS n_words, total_hits,
+         {_sql_ngrams(2)} AS b2,
+         [i FOR i IN range(1, len(t) + 1)
+            IF i = 1 OR t[i] != t[i-1]] || [len(t) + 1] AS bounds
+  FROM g),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words < {GATE_MIN_WORDS} THEN 'too_short'
+              WHEN list_max(list_transform(range(1, len(bounds)),
+                            j -> bounds[j+1] - bounds[j])) >= {GATE_MAX_RUN}
+                THEN 'long_run'
+              WHEN floor((len(b2) - len(list_distinct(b2))) * 1.0 / len(b2)
+                         * 1000000) / 1000000 > {GATE_MAX_DUP_BIGRAM}
+                THEN 'dup_bigrams'
+              WHEN total_hits = 0 THEN 'no_stopwords'
+              ELSE 'ok' END AS fail_reason
+  FROM s)
+SELECT doc_id, n_words, fail_reason, fail_reason = 'ok' AS keep FROM r
+"""
+
+
+# --- benchmark decontamination ----------------------------------------------
+# Published practice (GPT-3 appendix C; Dolma): drop or flag training
+# documents sharing a long n-gram with any evaluation-benchmark text.
+# The benchmark set here is a deterministic slice of the corpus itself
+# (doc_id % CONTAM_MOD == 0 stands in for the eval suite) — no external
+# data, same derivation in both engines.
+CONTAM_K = 4        # n-gram length; long enough that overlap is evidence
+CONTAM_MOD = 97
+
+
+def _contam_ngrams():
+    """Column: DISTINCT CONTAM_K-word grams of `text` (docs shorter
+    than K words contribute their whole text — mirrored in SQL).
+    Built on _word_ngrams' slice+zip_with shape (see its performance
+    contract: the source array must be a HOF argument, never indexed
+    per element)."""
+    return F.array_distinct(_word_ngrams(CONTAM_K))
+
+
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every training document sharing
+    at least one CONTAM_K-word gram with the benchmark slice; output
+    (doc_id, n_shared distinct grams).
+
+    Scale shape: the benchmark side is constant-size (an eval suite,
+    not the corpus), so its distinct-gram set BROADCASTS — the
+    contamination check is then a map-side semi-join over the corpus
+    scan plus one (doc_id)-keyed count with map-side combine; the
+    10^12-row side never shuffles its grams.  Output is only the
+    contaminated docs (sparse by construction — a shared 4-gram from a
+    ~30-word vocabulary is ~1e-4 per gram — so the result is small)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(_contam_ngrams()).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_CONTAM_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(CONTAM_K))
+SQL_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, u.g FROM toks,
+    UNNEST(CASE WHEN len(t) >= {CONTAM_K}
+           THEN [{_CONTAM_GRAM} FOR i IN range(1, len(t) - {CONTAM_K} + 2)]
+           ELSE [array_to_string(t, ' ')] END) AS u(g)),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % {CONTAM_MOD} = 0)
+SELECT ng.doc_id, COUNT(*) AS n_shared
+FROM ng JOIN bench USING (g)
+WHERE ng.doc_id % {CONTAM_MOD} != 0
+GROUP BY ng.doc_id
+"""
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
+    "curate_decontaminate": curate_decontaminate,
+    "curate_quality_gate": curate_quality_gate,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
     "curate_sample_stratified": SQL_SAMPLE,
+    "curate_decontaminate": SQL_DECONTAM,
+    "curate_quality_gate": SQL_QUALITY_GATE,
 }

@@ -62,20 +62,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _shingle_array():
-    """Column: distinct k-word shingles of `text` (JVM-side only)."""
-    toks = F.split(F.col("text"), " ")
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= SHINGLE_K,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-                ),
-            ),
-        ).otherwise(F.array(F.col("text")))
-    )
+    """Column: distinct k-word shingles of `text` (JVM-side only).
+    Same strings in the same order as the original formulation, built
+    on textstats._word_ngrams' slice+zip_with shape — HOF lambdas must
+    never index the source array per element (element_at(toks, i)
+    re-evaluates split(text) per element on the interpreted HOF path;
+    see the _word_ngrams performance contract)."""
+    from .textstats import _word_ngrams
+
+    return F.array_distinct(_word_ngrams(SHINGLE_K))
 
 
 def _shingles(df: DataFrame) -> DataFrame:

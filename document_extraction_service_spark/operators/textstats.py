@@ -357,6 +357,137 @@ FROM r
 """
 
 
+# --- repetition / degeneracy stats (Gopher-style quality rules) -------------
+# Published repetition filters (Gopher / MassiveText, Rae et al. 2021;
+# Dolma) drop documents whose n-gram mass is dominated by repeats.
+# Token-granularity equivalents here, all pure column expressions.
+
+
+def _word_ngrams(n: int):
+    """Column: ALL n-word grams of `text` in order (duplicates kept —
+    repetition counting needs every occurrence).  Docs shorter than n
+    words contribute their whole text as one gram (mirrored in SQL).
+
+    PERFORMANCE CONTRACT: built from slice + zip_with so every array
+    is an ARGUMENT of the higher-order function (evaluated once per
+    row).  A lambda that indexes the source via element_at(toks, i)
+    re-evaluates the whole split(text) PER ELEMENT — Spark HOFs run on
+    the interpreted eval path with no common-subexpression
+    elimination, so that shape is O(n_words^2) string splits per row
+    (measured ~75 ms/row; this shape is ~0.1 ms/row)."""
+    toks = F.split(F.col("text"), " ")
+    sz = F.size(toks)
+    n_grams = F.greatest(sz - n + 1, F.lit(0))
+
+    def shifted(k: int):
+        return F.slice(toks, k + 1, n_grams)
+
+    grams = shifted(0)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, shifted(k), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(sz >= n, grams).otherwise(F.array(F.col("text")))
+
+
+def _dup_frac(arr):
+    """Fraction of array elements that are repeat occurrences,
+    floored at 1e-6 (ROUND ties differ across engines, gotcha #3)."""
+    return F.floor(
+        (F.size(arr) - F.size(F.array_distinct(arr)))
+        / F.size(arr) * 1_000_000
+    ) / 1_000_000
+
+
+def _max_run():
+    """Column: longest run of one token repeated consecutively in
+    `text` — a single aggregate fold over the token array with a
+    (prev, run, best) struct accumulator: O(n_words) per row, and the
+    token array is the fold's ARGUMENT so split(text) evaluates once
+    (see the _word_ngrams performance contract; an earlier
+    boundary-index formulation re-evaluated the split per element and
+    cost ~75 ms/row interpreted).  prev starts NULL so no token value
+    can collide with the initial state (t == NULL is NULL -> run
+    restarts at 1).  The DuckDB oracle computes the same quantity
+    set-wise (run boundaries = positions i with t[i] != t[i-1]; max
+    run = max gap between consecutive boundaries) — engines need only
+    agree on values, not algorithms."""
+    toks = F.split(F.col("text"), " ")
+
+    def extend(acc, t):
+        return F.coalesce(F.when(t == acc.prev, acc.run), F.lit(0)) + 1
+
+    return F.aggregate(
+        toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            extend(acc, t).alias("run"),
+            F.greatest(acc.best, extend(acc, t)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    ).cast("int")
+
+
+def text_repetition(spark, sf_dir):
+    """Repetition/degeneracy stats per document — the Gopher-style
+    quality gates a crawl corpus runs before training:
+
+      dup_word_frac    fraction of word occurrences that are repeats
+      dup_bigram_frac  fraction of word-bigram occurrences that repeat
+      dup_trigram_frac same at trigram granularity
+      max_run          longest run of one token repeated consecutively
+                       ("spam spam spam" degeneracy)
+
+    Pure map (JVM higher-order functions, no shuffle, no Python) — at
+    10^12 rows this costs one scan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        _dup_frac(toks).alias("dup_word_frac"),
+        _dup_frac(_word_ngrams(2)).alias("dup_bigram_frac"),
+        _dup_frac(_word_ngrams(3)).alias("dup_trigram_frac"),
+        _max_run().alias("max_run"),
+    )
+
+
+def _sql_ngrams(n: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN [{gram} FOR i IN range(1, len(t) - {n} + 2)]"
+        " ELSE [array_to_string(t, ' ')] END"
+    )
+
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, t,
+             {_sql_ngrams(2)} AS b2,
+             {_sql_ngrams(3)} AS b3,
+             [i FOR i IN range(1, len(t) + 1)
+                IF i = 1 OR t[i] != t[i-1]] || [len(t) + 1] AS bounds
+      FROM toks)
+SELECT doc_id,
+       len(t) AS n_words,
+       floor((len(t) - len(list_distinct(t))) * 1.0 / len(t) * 1000000)
+         / 1000000 AS dup_word_frac,
+       floor((len(b2) - len(list_distinct(b2))) * 1.0 / len(b2) * 1000000)
+         / 1000000 AS dup_bigram_frac,
+       floor((len(b3) - len(list_distinct(b3))) * 1.0 / len(b3) * 1000000)
+         / 1000000 AS dup_trigram_frac,
+       CAST(list_max(list_transform(range(1, len(bounds)),
+                                    j -> bounds[j+1] - bounds[j])) AS INTEGER)
+         AS max_run
+FROM g
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -365,6 +496,7 @@ QUERIES = {
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_top_ngrams": text_top_ngrams,
     "text_redact_pii": text_redact_pii,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
@@ -375,4 +507,5 @@ ORACLES = {
     "text_rolling_fingerprint": SQL_ROLLING_FP,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "text_redact_pii": SQL_REDACT,
+    "text_repetition": SQL_REPETITION,
 }

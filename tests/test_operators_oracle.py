@@ -357,3 +357,83 @@ def test_redact_pii_semantics(spark):
     # distinct through their text.
     n_distinct = len({r["redacted_fp"] for r in rows})
     assert 400 < n_distinct < len(rows)
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": ["unit"] * len(rows),
+        "n_chars": [len(r[1]) for r in rows],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_repetition_crafted(spark, tmp_path):
+    """Hand-checked degeneracy stats: 'a a a b a b' has 4/6 duplicate
+    word occurrences, 2/5 duplicate bigrams, 0 duplicate trigrams, and
+    a longest same-token run of 3; a all-distinct doc scores zero."""
+    d = _write_docs(tmp_path, [(1, "a a a b a b"), (2, "x y z w")])
+    rows = {
+        r["doc_id"]: r
+        for r in entry.queries()["text_repetition"](spark, d).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_words"] == 6 and r1["max_run"] == 3
+    assert abs(r1["dup_word_frac"] - 0.666666) < 1e-9
+    assert abs(r1["dup_bigram_frac"] - 0.4) < 1e-9
+    assert r1["dup_trigram_frac"] == 0.0
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["max_run"] == 1
+
+
+def test_decontaminate_flags_known_overlap(spark, tmp_path):
+    """doc 0 is the benchmark slice (0 % CONTAM_MOD == 0); doc 5 shares
+    exactly one 4-gram ('p q r s') with it, doc 6 shares none — only
+    doc 5 is flagged, with n_shared == 1."""
+    d = _write_docs(tmp_path, [
+        (0, "p q r s t u"),
+        (5, "m n p q r s"),
+        (6, "a b c d e f"),
+    ])
+    rows = entry.queries()["curate_decontaminate"](spark, d).collect()
+    assert {r["doc_id"]: r["n_shared"] for r in rows} == {5: 1}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark gram set must broadcast: the corpus side of the
+    contamination join never shuffles its grams at 10^12 rows."""
+    df = entry.queries()["curate_decontaminate"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_gate_every_reason_code(spark, tmp_path):
+    """One crafted doc per cascade branch, in precedence order: a short
+    doc fails too_short even though it also has a long run; the run
+    rule beats the bigram rule; a stopword-free doc with clean n-grams
+    fails no_stopwords; a normal doc passes."""
+    long_tail = " ".join(f"w{i} the of" for i in range(8))
+    d = _write_docs(tmp_path, [
+        (1, "z z z z z"),                                   # too_short (5 words)
+        (2, "z z z z " + long_tail),                        # long_run (run of 4)
+        (3, "p q p q p q p q " + long_tail),                # dup_bigrams
+        (4, " ".join(f"u{i}" for i in range(20))),          # no_stopwords
+        # ok: >= 15 words, stopword present, no repeated bigram, no run
+        (5, "the cat sat of a mat " + " ".join(f"u{i}" for i in range(10))),
+    ])
+    rows = {
+        r["doc_id"]: r
+        for r in entry.queries()["curate_quality_gate"](spark, d).collect()
+    }
+    assert rows[1]["fail_reason"] == "too_short"
+    assert rows[2]["fail_reason"] == "long_run"
+    assert rows[3]["fail_reason"] == "dup_bigrams"
+    assert rows[4]["fail_reason"] == "no_stopwords"
+    assert rows[5]["fail_reason"] == "ok" and rows[5]["keep"]
+    assert not rows[1]["keep"]
