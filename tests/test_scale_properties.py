@@ -294,3 +294,24 @@ def test_metrics_scan_prunes_payload(spark, tmp_path):
     plan = _plan(scan)
     rs = plan.split("ReadSchema:")[-1]
     assert "extraction" not in rs
+
+
+def test_no_hof_lambda_indexes_a_derived_array(spark):
+    """Regression guard for the HOF re-eval trap (CLAUDE.md gotcha
+    #19): a lambda that indexes its source via element_at(split(...))
+    re-evaluates the whole split per element on the interpreted HOF
+    path (~75 ms/row when nested — a >60x slowdown found in r4).
+    Sliding windows must be built with slice+zip_with and folds with
+    F.aggregate, so no analyzed plan may contain an element_at applied
+    directly to a split() expression."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        plan = (
+            fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        if "element_at(split(" in plan:
+            offenders.append(name)
+    assert not offenders, f"derived-array indexing in HOF lambda: {offenders}"
