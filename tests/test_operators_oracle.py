@@ -437,3 +437,52 @@ def test_quality_gate_every_reason_code(spark, tmp_path):
     assert rows[4]["fail_reason"] == "no_stopwords"
     assert rows[5]["fail_reason"] == "ok" and rows[5]["keep"]
     assert not rows[1]["keep"]
+
+
+def test_repetition_edge_cases_match_pure_python(spark, tmp_path):
+    """Spark's repetition stats must agree with an independent
+    pure-Python reference on tokenizer edge cases: empty string (one
+    empty token), double spaces (empty tokens mid-stream), single
+    word, all-same word, unicode, and a long run."""
+    import math
+
+    texts = [
+        "",
+        "x",
+        "a  b",
+        "a a  a a",
+        "héllo héllo héllo",
+        " ".join(["r"] * 10),
+        "one two three four five six seven",
+        "  ",
+    ]
+
+    def ref(text):
+        t = text.split(" ")
+        n = len(t)
+
+        def dup(arr):
+            return math.floor((len(arr) - len(set(arr))) / len(arr) * 1e6) / 1e6
+
+        def grams(k):
+            return (
+                [" ".join(t[i:i + k]) for i in range(n - k + 1)]
+                if n >= k else [text]
+            )
+
+        best = run = 0
+        prev = None
+        for tok in t:
+            run = run + 1 if tok == prev else 1
+            best = max(best, run)
+            prev = tok
+        return (n, dup(t), dup(grams(2)), dup(grams(3)), best)
+
+    d = _write_docs(tmp_path, list(enumerate(texts)))
+    rows = {
+        r["doc_id"]: (r["n_words"], r["dup_word_frac"], r["dup_bigram_frac"],
+                      r["dup_trigram_frac"], r["max_run"])
+        for r in entry.queries()["text_repetition"](spark, d).collect()
+    }
+    for i, text in enumerate(texts):
+        assert rows[i] == ref(text), f"doc {i} ({text!r}): {rows[i]} != {ref(text)}"
