@@ -125,8 +125,11 @@ SELECT doc_id,
 FROM documents
 """
 
-SQL_URL_CANONICALIZE = f"""
-WITH u AS ({_MESSY_SQL}),
+def _sql_canonical_chain(input_sql: str) -> str:
+    """DuckDB CTE chain mirroring canonicalize() over an input query
+    producing (doc_id, url); yields (doc_id, url, canonical_url, host)."""
+    return f"""
+WITH u AS ({input_sql}),
 s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
 s2 AS (SELECT doc_id, url,
               lower(regexp_extract(nf, '^([^/]*//[^/]*)', 1)) ||
@@ -152,6 +155,9 @@ SELECT doc_id, url,
 FROM s5
 """
 
+
+SQL_URL_CANONICALIZE = _sql_canonical_chain(_MESSY_SQL)
+
 SQL_HOST_ROLLUP = """
 WITH h AS (
   SELECT regexp_replace(lower(regexp_extract(
@@ -166,11 +172,92 @@ FROM h
 GROUP BY host
 """
 
+# --- URL-level dedup --------------------------------------------------------
+# A crawl pipeline's FIRST dedup pass is by canonical url (before any
+# content hashing): the same page arrives under byte-distinct urls
+# (case, default port, fragment, tracking params).  The variant table
+# below synthesizes exactly that — 4 noise classes of the SAME page per
+# group of 4 doc_ids — so the collapse is non-trivial and the expected
+# group structure is provable in SQL.
+
+
+def _variant_urls(spark, sf_dir):
+    """Deterministic colliding-url table: doc_ids 4k..4k+3 carry four
+    differently-noised spellings of page k's url (mixed-case authority
+    + default port + fragment / tracking param / both / already-clean)."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.floor(F.col("doc_id") / 4).cast("long")
+    site = (page % 20).cast("string")
+    item = page.cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW.Site"), site,
+            F.lit(".Example.COM:443/p/item-"), item, F.lit("#frag")))
+        .when(v == 1, F.concat(
+            F.lit("https://www.site"), site,
+            F.lit(".example.com/p/item-"), item, F.lit("?utm_source=a")))
+        .when(v == 2, F.concat(
+            F.lit("https://WWW.site"), site,
+            F.lit(".example.com:443/p/item-"), item,
+            F.lit("?utm_campaign=b#x")))
+        .otherwise(F.concat(
+            F.lit("https://www.site"), site,
+            F.lit(".example.com/p/item-"), item))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def web_url_dedup(spark, sf_dir):
+    """queries() entry: collapse byte-distinct url spellings to one
+    canonical row — (canonical_url, n_dups, canonical_id=min doc_id).
+
+    Scale shape: canonicalization is a pure map; the collapse is ONE
+    hash shuffle keyed by canonical url with map-side combine — the
+    same key the job's url-hash bucketing shards by, so at 10^12 rows
+    this pass piggybacks on the bucket layout (dedup within a bucket,
+    no second global shuffle)."""
+    u = _variant_urls(spark, sf_dir)
+    return (
+        u.select("doc_id", canonicalize(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+_SQL_VARIANTS = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'HTTPS://WWW.Site' || s || '.Example.COM:443/p/item-'
+                     || it || '#frag'
+         WHEN 1 THEN 'https://www.site' || s || '.example.com/p/item-'
+                     || it || '?utm_source=a'
+         WHEN 2 THEN 'https://WWW.site' || s || '.example.com:443/p/item-'
+                     || it || '?utm_campaign=b#x'
+         ELSE 'https://www.site' || s || '.example.com/p/item-' || it
+       END AS url
+FROM (SELECT doc_id,
+             CAST((doc_id // 4) % 20 AS VARCHAR) AS s,
+             CAST(doc_id // 4 AS VARCHAR) AS it
+      FROM documents)
+"""
+
+SQL_URL_DEDUP = f"""
+WITH c AS ({_sql_canonical_chain(_SQL_VARIANTS)})
+SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+FROM c GROUP BY canonical_url
+"""
+
 QUERIES = {
     "web_url_canonicalize": web_url_canonicalize,
     "web_host_rollup": web_host_rollup,
+    "web_url_dedup": web_url_dedup,
 }
 ORACLES = {
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
     "web_host_rollup": SQL_HOST_ROLLUP,
+    "web_url_dedup": SQL_URL_DEDUP,
 }

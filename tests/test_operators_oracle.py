@@ -486,3 +486,21 @@ def test_repetition_edge_cases_match_pure_python(spark, tmp_path):
     }
     for i, text in enumerate(texts):
         assert rows[i] == ref(text), f"doc {i} ({text!r}): {rows[i]} != {ref(text)}"
+
+
+def test_url_dedup_collapses_variant_groups(spark):
+    """Every group of 4 doc_ids carries four differently-noised
+    spellings of one page url; dedup must collapse each to a single
+    canonical row with n_dups == 4 and canonical_id == the group min."""
+    rows = entry.queries()["web_url_dedup"](spark, SF_DIR).collect()
+    assert len(rows) == 125  # 500 docs / 4 variants
+    for r in rows:
+        assert r["n_dups"] == 4
+        assert r["canonical_id"] % 4 == 0
+        assert "utm" not in r["canonical_url"]
+        assert "#" not in r["canonical_url"]
+        assert ":443" not in r["canonical_url"]
+        assert r["canonical_url"] == r["canonical_url"].split("?")[0].lower() + (
+            "" if "?" not in r["canonical_url"]
+            else "?" + r["canonical_url"].split("?", 1)[1]
+        )
