@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "ann_ivf",
     "curate_corpus",
     "curate_decontaminate",
+    "curate_quality_gate",
+    "web_url_dedup",
     "text_langid",
     "text_fingerprint",
     "text_top_ngrams",

@@ -188,21 +188,20 @@ GATE_MAX_RUN = 4           # "spam spam spam spam" degeneracy
 GATE_MAX_DUP_BIGRAM = 0.2  # Gopher-style duplicate-n-gram ceiling
 
 
-def curate_quality_gate(spark, sf_dir):
-    """Composite keep/drop gate with per-rule reason codes — the first
-    failing rule wins (cascade order: length, run degeneracy, bigram
-    repetition, language-signal floor).  Pure map (one scan, codegen'd
-    expressions, no shuffle): at 10^12 rows the gate costs what the
-    scan costs, and the reason column aggregates into the per-rule
-    drop report every corpus card publishes."""
-    d = _t(spark, sf_dir, "documents")
+def gate_reason():
+    """Column: first failing rule for the `text` column (cascade
+    order: length, run degeneracy, bigram repetition, language-signal
+    floor; 'ok' if none).  A pure column expression so the gate
+    composes anywhere a `text` column exists — the batch documents
+    query below, or a Structured Streaming extraction pipeline
+    (stateless map: streams gate per micro-batch with no state)."""
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
     total_hits = None
     for lg in LANG_MARKERS:
         h = _marker_hits(lg)
         total_hits = h if total_hits is None else total_hits + h
-    reason = (
+    return (
         F.when(n_words < GATE_MIN_WORDS, F.lit("too_short"))
         .when(_max_run() >= GATE_MAX_RUN, F.lit("long_run"))
         .when(_dup_frac(_word_ngrams(2)) > GATE_MAX_DUP_BIGRAM,
@@ -210,9 +209,19 @@ def curate_quality_gate(spark, sf_dir):
         .when(total_hits == 0, F.lit("no_stopwords"))
         .otherwise(F.lit("ok"))
     )
+
+
+def curate_quality_gate(spark, sf_dir):
+    """Composite keep/drop gate with per-rule reason codes — the first
+    failing rule wins (see gate_reason).  Pure map (one scan, codegen'd
+    expressions, no shuffle): at 10^12 rows the gate costs what the
+    scan costs, and the reason column aggregates into the per-rule
+    drop report every corpus card publishes."""
+    d = _t(spark, sf_dir, "documents")
+    reason = gate_reason()
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
         reason.alias("fail_reason"),
         (reason == "ok").alias("keep"),
     )

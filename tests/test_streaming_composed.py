@@ -70,3 +70,62 @@ def test_dedup_then_extract_stream_equals_batch(spark, tmp_path):
     }
     for r in batch.collect():
         assert stream_texts[r["url"]] == r["t"], r["url"]
+
+
+def test_extract_then_quality_gate_stream_equals_batch(spark, tmp_path):
+    """Extraction -> quality-gate filtering composed in ONE streaming
+    query (both stateless maps): the gated stream output must equal
+    the batch equivalent row-for-row, and the gate must actually drop
+    the degenerate page."""
+    from document_extraction_service_spark.operators.curation import gate_reason
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    # normal pages: >= GATE_MIN_WORDS distinct words with stopwords
+    rows = [
+        (f"https://h{i % 3}.example/q{i}", TS,
+         (f"<html><body><h1>Doc {i}</h1><p>the study of item{i} covers "
+          f"alpha{i} beta{i} gamma{i} delta{i} and epsilon{i} plus "
+          f"zeta{i} eta{i} theta{i} iota{i} kappa{i} of note "
+          f"here.</p></body></html>").encode(),
+         f"text {i}", "en")
+        for i in range(8)
+    ]
+    # a degenerate page: long same-word run in the only paragraph
+    rows.append((
+        "https://spam.example/p", TS,
+        ("<html><body><h1>Spam</h1><p>" + "buy " * 40
+         + "</p></body></html>").encode(),
+        "spam", "en"))
+    spark.createDataFrame(rows, PAGES_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def gated(df):
+        return (
+            with_extraction(df)
+            .select("url", F.col("extraction.extracted_text").alias("text"))
+            .withColumn("fail_reason", gate_reason())
+            .filter(F.col("fail_reason") == "ok")
+            .select("url", "text", "fail_reason")
+        )
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (
+        gated(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["url"]: r["text"]
+        for r in gated(spark.read.schema(PAGES_SCHEMA).parquet(src)).collect()
+    }
+    assert got == batch
+    assert "https://spam.example/p" not in got  # degeneracy gate fired
+    assert len(got) >= 6  # normal pages survive
