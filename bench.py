@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_pipeline",
     "dedup_embedding_pipeline",
     "ann_topk_bruteforce",
+    "ann_topk_filtered",
     "ann_lsh_bucketed",
     "ann_ivf",
     "curate_corpus",

@@ -259,6 +259,34 @@ SELECT doc_id, n_words, fail_reason, fail_reason = 'ok' AS keep FROM r
 """
 
 
+def curate_gate_report(spark, sf_dir):
+    """Per-rule drop report — the corpus-card table (C4/Gopher/Dolma
+    all publish one): docs and word mass per gate outcome.  One scan +
+    one tiny aggregation (5 possible keys) with map-side combine; at
+    10^12 rows the shuffle moves at most a few partial rows per task."""
+    d = _t(spark, sf_dir, "documents")
+    reason = gate_reason()
+    return (
+        d.select(
+            reason.alias("fail_reason"),
+            F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        )
+        .groupBy("fail_reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+        )
+    )
+
+
+SQL_GATE_REPORT = f"""
+WITH g AS ({SQL_QUALITY_GATE})
+SELECT fail_reason, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words
+FROM g GROUP BY fail_reason
+"""
+
+
 # --- benchmark decontamination ----------------------------------------------
 # Published practice (GPT-3 appendix C; Dolma): drop or flag training
 # documents sharing a long n-gram with any evaluation-benchmark text.
@@ -326,10 +354,12 @@ QUERIES = {
     "curate_sample_stratified": curate_sample_stratified,
     "curate_decontaminate": curate_decontaminate,
     "curate_quality_gate": curate_quality_gate,
+    "curate_gate_report": curate_gate_report,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
     "curate_sample_stratified": SQL_SAMPLE,
     "curate_decontaminate": SQL_DECONTAM,
     "curate_quality_gate": SQL_QUALITY_GATE,
+    "curate_gate_report": SQL_GATE_REPORT,
 }

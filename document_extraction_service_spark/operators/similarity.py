@@ -122,6 +122,54 @@ SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {TOP_K}
 """
 
 
+def ann_topk_filtered(spark, sf_dir):
+    """Filtered vector search: exact top-k cosine neighbours sharing
+    the query's label — the metadata-predicate + similarity pattern
+    every production vector store serves (RAG with tenant/source
+    filters).  The predicate is applied as a PRE-filter in the join
+    condition, not post-filtering a label-blind top-k (which returns
+    < k rows whenever the unfiltered neighbourhood is label-mixed):
+    the query side broadcasts with its label, the corpus side streams
+    map-only, and the label equality prunes ~(1/n_labels) of the
+    candidate space before any cosine is computed."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("qlabel")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.floor(_cos(F.col("qv"), F.col("v")) * 1e6) / 1e6).alias("cosine"),
+    )
+    return _two_stage_topk(scored)
+
+
+SQL_ANN_FILTERED = f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         FLOOR(list_dot_product(q.qv, v.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v))) * 1e6) / 1e6 AS cosine
+  FROM v JOIN q ON v.vec_id != q.query_id AND v.label = q.qlabel),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= {TOP_K}
+"""
+
+
 LSH_MAX_PLANES = 62  # bucket ids are signed int64: 62 sign bits + the
 # hamming-1 probe XOR (1 << j) must stay below 2^63.  62 planes keep
 # the expected bucket at LSH_TARGET_BUCKET_POP up to ~1.5e20 rows —
@@ -347,12 +395,14 @@ def ann_ivf(spark, sf_dir):
 
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_filtered": ann_topk_filtered,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": SQL_ANN_TOPK,
+    "ann_topk_filtered": SQL_ANN_FILTERED,
     # ann_lsh_bucketed / ann_ivf: sketch/quantizer candidates have no
     # cheap native-SQL form, so their oracles are pinned pure-Python
     # replays served as VALUES SQL by __spark_entry__ (full value

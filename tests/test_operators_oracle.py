@@ -504,3 +504,27 @@ def test_url_dedup_collapses_variant_groups(spark):
             "" if "?" not in r["canonical_url"]
             else "?" + r["canonical_url"].split("?", 1)[1]
         )
+
+
+def test_ann_filtered_respects_label_and_matches_bruteforce_cosines(spark):
+    """Every filtered neighbor must share the query's label, and where
+    a (query, neighbor) pair also appears in the label-blind top-k its
+    cosine must be identical (same JVM fold)."""
+    import pandas as pd
+
+    labels = (
+        pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        .set_index("vec_id")["label"]
+    )
+    filt = entry.queries()["ann_topk_filtered"](spark, SF_DIR).collect()
+    assert filt, "filtered ANN returned nothing"
+    for r in filt:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in entry.queries()["ann_topk_bruteforce"](spark, SF_DIR).collect()
+    }
+    for r in filt:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in bf:
+            assert r["cosine"] == bf[k]
