@@ -46,3 +46,14 @@ def test_arrow_table_matches_gen_rows():
     rows = list(fx.gen_rows(0, 20))
     assert t.column("url").to_pylist() == [r["url"] for r in rows]
     assert t.column("html").to_pylist() == [r["html"] for r in rows]
+
+
+def test_bench_queries_all_registered():
+    """A typo'd name in bench.py's suite would crash the driver's
+    per-round bench run — every BENCH_QUERIES entry must resolve."""
+    import bench
+    import __spark_entry__ as entry
+
+    registered = set(entry.queries())
+    missing = [q for q in bench.BENCH_QUERIES if q not in registered]
+    assert not missing, missing
