@@ -129,3 +129,67 @@ def test_extract_then_quality_gate_stream_equals_batch(spark, tmp_path):
     assert got == batch
     assert "https://spam.example/p" not in got  # degeneracy gate fired
     assert len(got) >= 6  # normal pages survive
+
+
+def test_decontaminate_stream_static_join_equals_batch(spark, tmp_path):
+    """Streaming decontamination = a STREAM-STATIC broadcast join: the
+    benchmark gram set is a static table, arriving documents join it
+    statelessly (append mode, no watermark, no state store).  The
+    flagged (doc_id, gram) pairs must equal the batch run's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_extraction_service_spark.operators.curation import (
+        CONTAM_MOD,
+        _contam_ngrams,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    docs = [
+        (0, "p q r s t u"),            # benchmark doc (0 % CONTAM_MOD == 0)
+        (5, "m n p q r s"),            # shares 'p q r s'
+        (6, "a b c d e f"),            # clean
+        (CONTAM_MOD, "v w x y z zz"),  # second benchmark doc
+        (9, "k l v w x y"),            # shares 'v w x y'
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+        }),
+        os.path.join(src, "part0.parquet"),
+    )
+
+    batch_docs = spark.read.parquet(src)
+    bench = (
+        batch_docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select(F.explode(_contam_ngrams()).alias("g")).distinct()
+    )
+
+    def flagged(df):
+        return (
+            df.filter(F.col("doc_id") % CONTAM_MOD != 0)
+            .select("doc_id", F.explode(_contam_ngrams()).alias("g"))
+            .join(F.broadcast(bench), "g")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = (
+        flagged(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["doc_id"], r["g"]) for r in spark.read.parquet(out).collect()}
+    want = {(r["doc_id"], r["g"]) for r in flagged(batch_docs).collect()}
+    assert got == want
+    assert (5, "p q r s") in got and (9, "v w x y") in got
+    assert not any(d == 6 for d, _ in got)
