@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_pipeline",
+    "dedup_incremental",
     "dedup_embedding_pipeline",
     "ann_topk_bruteforce",
     "ann_topk_filtered",

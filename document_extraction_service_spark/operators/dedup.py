@@ -603,6 +603,65 @@ def dedup_embedding_pipeline(spark, sf_dir):
     )
 
 
+# --- incremental (delta) dedup ----------------------------------------------
+INCR_NEW_MOD = 10   # doc_id % 10 == 0 stands in for "today's crawl batch"
+
+
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup: dedup a NEW crawl batch against the EXISTING
+    corpus index without re-touching existing rows — the only dedup
+    shape that works at 100 TB (you never re-dedup the whole corpus;
+    you join the day's batch against the fingerprint index).  Output:
+    one row per new doc with `novel` and, when a collision exists,
+    `dup_of` = the smallest colliding existing doc_id.
+
+    Fingerprint = md5 over the SORTED DISTINCT token set (bag-of-words
+    canonical form) — word-order-insensitive, so re-crawls that shuffle
+    boilerplate order still collide; both engines sort the same ascii
+    tokens bytewise, so the form is oracle-exact.
+
+    Scale shape: the index side is pre-aggregated to (fp, min doc_id)
+    — one shuffle the index pays ONCE, amortized over every future
+    batch when persisted bucketed by fp; the daily batch (small by
+    construction) then hash-joins on fp with zero index re-shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+            ),
+            " ",
+        )
+    )
+    new = d.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    idx = (
+        d.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+        .select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return new.join(idx, "fp", "left").select(
+        "doc_id",
+        F.col("dup_of").isNull().alias("novel"),
+        "dup_of",
+    )
+
+
+SQL_INCREMENTAL = f"""
+WITH f AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(
+                      string_split(lower(trim(text)), ' '))), ' ')) AS fp
+           FROM documents),
+idx AS (SELECT fp, MIN(doc_id) AS dup_of FROM f
+        WHERE doc_id % {INCR_NEW_MOD} != 0 GROUP BY fp)
+SELECT f.doc_id, idx.dup_of IS NULL AS novel, idx.dup_of
+FROM f LEFT JOIN idx ON f.fp = idx.fp
+WHERE f.doc_id % {INCR_NEW_MOD} = 0
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -612,10 +671,12 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_pipeline": dedup_pipeline,
     "dedup_embedding_pipeline": dedup_embedding_pipeline,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
     "dedup_exact": SQL_EXACT,
+    "dedup_incremental": SQL_INCREMENTAL,
     "dedup_ngram_jaccard": SQL_JACCARD,
     "dedup_embedding_cosine": SQL_EMB_COSINE,
     "dedup_clusters": SQL_CLUSTERS,

@@ -528,3 +528,22 @@ def test_ann_filtered_respects_label_and_matches_bruteforce_cosines(spark):
         k = (r["query_id"], r["neighbor_id"])
         if k in bf:
             assert r["cosine"] == bf[k]
+
+
+def test_incremental_dedup_word_order_insensitive(spark, tmp_path):
+    """A new-batch doc whose distinct token SET matches an existing doc
+    must collide (bag-of-words canonical form is order-insensitive and
+    repeat-insensitive); a genuinely new doc is novel."""
+    d = _write_docs(tmp_path, [
+        (3, "the cat sat down"),              # existing corpus
+        (7, "other existing page words"),     # existing corpus
+        (10, "down sat the cat cat"),         # new: shuffled + repeated
+        (20, "totally fresh words here"),     # new: novel
+    ])
+    rows = {
+        r["doc_id"]: (r["novel"], r["dup_of"])
+        for r in entry.queries()["dedup_incremental"](spark, d).collect()
+    }
+    assert set(rows) == {10, 20}  # only the new batch is emitted
+    assert rows[10] == (False, 3)
+    assert rows[20] == (True, None)
