@@ -33,6 +33,15 @@ its own.  Per-query wall seconds for the operator suite are reported
 under "queries" (single pass, probes around the suite).
 Scaling-efficiency evidence (local[2] vs local[8] vs local[32]) is
 produced separately by scripts/scaling_bench.py -> BENCH/BASELINE.md.
+
+TAIL-CAPTURE SAFETY (VERDICT r4 "What's wrong" #1): the driver records
+only the LAST 2,000 characters of stdout.  Round 4's single
+self-evidencing line grew past that window and lost its FRONT (the
+"metric"/"value" headline), so BENCH_r04.json parsed as null.  Fix:
+the FULL evidence object (per-rep cpu splits, probe seconds, notes) is
+written to BENCH/bench_full.json, and stdout carries exactly ONE
+compact line (headline + per-query seconds + per-rep docs/sec +
+max-probe summary) guaranteed to fit the capture window.
 """
 
 from __future__ import annotations
@@ -183,31 +192,59 @@ def main() -> None:
     suite_probe_after = host_probe(cpus)
 
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "extraction_docs_per_sec",
-                "value": round(med, 2),
-                "unit": "docs/sec",
-                "total_sec": total,
-                "queries": queries,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "bench_pages": BENCH_PAGES,
-                "n_ok": n_ok,
-                "reps": reps,
-                "suite_probe_s": [round(suite_probe_before, 2),
-                                  round(suite_probe_after, 2)],
-                "probe_note": (
-                    f"probe_*_s = {cpus}-wide concurrent 128MB-copy membw "
-                    "probe seconds (quiet host ~0.25s at 32-wide; degraded "
-                    "windows multiply it); cpu_pct = /proc/stat split over "
-                    "the rep; headline value = median docs/sec of "
-                    f"{REPS} reps"
-                ),
-            }
-        )
-    )
+    all_probes = [p for r in reps for p in
+                  (r["probe_before_s"], r["probe_after_s"])]
+    all_probes += [round(suite_probe_before, 2), round(suite_probe_after, 2)]
+    max_probe = max(all_probes)
+    full = {
+        "metric": "extraction_docs_per_sec",
+        "value": round(med, 2),
+        "unit": "docs/sec",
+        "total_sec": total,
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "bench_pages": BENCH_PAGES,
+        "n_ok": n_ok,
+        "reps": reps,
+        "suite_probe_s": [round(suite_probe_before, 2),
+                          round(suite_probe_after, 2)],
+        "probe_note": (
+            f"probe_*_s = {cpus}-wide concurrent 128MB-copy membw "
+            "probe seconds (quiet host ~0.25s at 32-wide; degraded "
+            "windows multiply it); cpu_pct = /proc/stat split over "
+            "the rep; headline value = median docs/sec of "
+            f"{REPS} reps"
+        ),
+    }
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    evidence_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_full.json")
+    with open(evidence_path, "w") as f:
+        json.dump(full, f, indent=1)
+    # ONE compact stdout line, guaranteed < 2,000 chars (driver tail window):
+    # headline first, full per-rep/probe evidence in BENCH/bench_full.json.
+    compact = {
+        "metric": "extraction_docs_per_sec",
+        "value": round(med, 2),
+        "unit": "docs/sec",
+        "total_sec": total,
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "bench_pages": BENCH_PAGES,
+        "reps_docs_per_sec": [r["docs_per_sec"] for r in reps],
+        "max_probe_s": max_probe,
+        "probes_ok": max_probe <= 4.0,
+        "evidence": "BENCH/bench_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never let the headline fall out of the window
+        compact.pop("queries")
+        compact["queries_in"] = "BENCH/bench_full.json"
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

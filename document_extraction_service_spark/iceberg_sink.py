@@ -88,7 +88,10 @@ def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
     table has no snapshots yet).  One metadata query — no data scan."""
     rows = spark.sql(
         f"SELECT snapshot_id FROM {table}.snapshots "
-        "ORDER BY committed_at DESC LIMIT 1"
+        # committed_at has ms granularity: back-to-back commits can tie,
+        # so break ties on snapshot_id (monotone within a table) to never
+        # return a stale snapshot for the resume fingerprint (ADVICE r4)
+        "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
     ).collect()  # <=1 row by construction
     return int(rows[0][0]) if rows else None
 

@@ -237,7 +237,7 @@ def run_job(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("input_fingerprint", F.lit(fp))
         .withColumn("wall_ms", F.lit(wall_ms))
-        .withColumn("committed_at", F.lit(_dt.datetime.utcnow()))
+        .withColumn("committed_at", F.lit(_dt.datetime.now(_dt.timezone.utc)))
         .select(
             "run_id", "bucket", "input_fingerprint",
             "n_ok", "n_failed", "n_truncated", "n_fallback",

@@ -23,7 +23,7 @@ def _extract(i: int) -> dict:
     r = fx.gen_page(i)
     t0 = time.time()
     res = extract_document(r["html"], r["url"], r["lang"])
-    assert time.time() - t0 < 2.0, f"adversarial page {i} slow"
+    assert time.time() - t0 < 15.0, f"adversarial page {i} slow"  # wide gate: host bimodal windows (CLAUDE.md #17) must not flake this
     assert res == extract_document(r["html"], r["url"], r["lang"]), "nondeterministic"
     return res
 
