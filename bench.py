@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_pipeline",
     "dedup_incremental",
+    "dedup_incremental_near",
+    "dedup_incremental_emb",
     "dedup_embedding_pipeline",
     "ann_topk_bruteforce",
     "ann_topk_filtered",
@@ -82,6 +84,7 @@ BENCH_QUERIES = [
     "curate_decontaminate",
     "curate_quality_gate",
     "web_url_dedup",
+    "web_host_quality",
     "text_langid",
     "text_fingerprint",
     "text_top_ngrams",

@@ -181,6 +181,29 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """doc_id -> LSH_BANDS (band, bucket) rows: MINHASH_PERMS seeded
+    xxhash64 min-sketches (map-side combined — only 32 longs per doc
+    cross the shuffle), banded via ONE posexplode.  Shared by the
+    batch-mode pair generator (dedup_minhash_lsh) and the incremental
+    index build/probe (minhash_band_index / incremental_near_dedup)."""
+    sh = _shingles(docs)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            for j in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(LSH_BANDS)
+    ]
+    return mins.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs: shingle array -> MINHASH_PERMS
     seeded xxhash64 min-sketches -> LSH_BANDS banded bucket join ->
@@ -203,21 +226,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     skewed self-join key.  Oracle: pinned pure-Python XXH64 replay
     (scripts/replay_sketches.py — full value verification); recall/
     precision vs exact Jaccard additionally asserted in tests."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
-            for j in range(MINHASH_PERMS)
-        ]
-    )
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-        for b in range(LSH_BANDS)
-    ]
-    bands = mins.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
-    )
+    bands = _minhash_bands(_t(spark, sf_dir, "documents"))
     posts = (
         bands.groupBy("band", "bucket")
         .agg(F.collect_set("doc_id").alias("docs"))
@@ -541,7 +550,8 @@ def dedup_pipeline(spark, sf_dir):
 
 def embedding_lsh_candidates(e: DataFrame, tables: int | None = None,
                              planes: int | None = None,
-                             bucket_cap: int = EMB_PIPE_BUCKET_CAP) -> DataFrame:
+                             bucket_cap: int = EMB_PIPE_BUCKET_CAP,
+                             n: int | None = None) -> DataFrame:
     """ALL-PAIRS sign-LSH candidates over an embeddings table (contrast
     similarity.lsh_candidates, which is query-vs-corpus): every vector
     is signed against the same md5-derived hyperplanes (one numpy
@@ -555,7 +565,9 @@ def embedding_lsh_candidates(e: DataFrame, tables: int | None = None,
     if tables is None:
         tables = LSH_TABLES
     if planes is None:
-        planes = _auto_planes(e.count())  # metadata-only count
+        # caller may pass n (e.g. from the session corpus-stats cache)
+        # so repeat constructions cost zero Spark jobs
+        planes = _auto_planes(e.count() if n is None else n)
     sig = _signatures_udf(tables=tables, planes=planes)
     buckets = e.select(
         "vec_id", sig(F.col("embedding")).alias("bs")
@@ -587,8 +599,12 @@ def dedup_embedding_pipeline(spark, sf_dir):
     the capped bucket join), never n^2.  Oracle: pinned pure-Python
     replay (numpy signatures + left-fold cosine + union-find;
     scripts/replay_sketches.py)."""
+    from .similarity import _corpus_n
+
     e = _t(spark, sf_dir, "embeddings")
-    cand = embedding_lsh_candidates(e)
+    cand = embedding_lsh_candidates(
+        e, n=_corpus_n(e, f"{sf_dir}/embeddings.parquet")
+    )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     va = e.select(F.col("vec_id").alias("vec_a"), dv.alias("v_a"))
     vb = e.select(F.col("vec_id").alias("vec_b"), dv.alias("v_b"))
@@ -662,6 +678,182 @@ WHERE f.doc_id % {INCR_NEW_MOD} = 0
 """
 
 
+# --- incremental NEAR-dup dedup (batch vs persisted LSH band index) ---------
+
+
+def minhash_band_index(existing: DataFrame) -> DataFrame:
+    """The PERSISTED corpus LSH index: (band, bucket) -> bounded postings
+    array of existing doc ids.  Built with ONE shuffle the corpus pays
+    ONCE; at scale it is persisted (parquet/Iceberg, bucketed by the
+    band/bucket key) and every future crawl batch probes it without
+    re-shuffling a single existing row.  Buckets above
+    MINHASH_BUCKET_CAP are dropped (degenerate sketch regions, same
+    bound as dedup_minhash_lsh) — but SINGLETON buckets are kept,
+    unlike the batch-mode pair generator: a new doc colliding with one
+    old doc is exactly the signal incremental dedup exists for."""
+    return (
+        _minhash_bands(existing)
+        .groupBy("band", "bucket")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= MINHASH_BUCKET_CAP)
+    )
+
+
+def incremental_near_dedup(
+    batch: DataFrame, index: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """Near-dup dedup of a NEW crawl batch against the EXISTING corpus
+    via its persisted MinHash band index — the sketch twin of
+    dedup_incremental (VERDICT r4 next-round #2) and the batch-vs-index
+    twin of dedup_pipeline: today's batch is sketched, probed against
+    the index, and verified with exact Jaccard — old rows are never
+    re-sketched, re-shuffled, or re-paired.
+
+    Scale shape (the 100 TB contract): the batch side (small by
+    construction — one day's crawl vs the whole corpus) is BROADCAST
+    into both probe joins, so the index scan and the corpus-store scan
+    stream map-side through BroadcastHashJoins with ZERO shuffle of the
+    big side (plan-asserted in tests/test_scale_properties.py).  The
+    expensive exact-Jaccard set intersection runs ONLY on LSH candidate
+    pairs, and the corpus store ships shingle arrays only for rows that
+    collide.  Verify uses the FULL per-doc shingle universe (pairs are
+    already enumerated, so the truer uncapped similarity is affordable —
+    same deliberate choice as dedup_pipeline's verify stage).
+
+    Output: one row per batch doc — (doc_id, novel, dup_of) where
+    dup_of is the smallest existing doc verified Jaccard-similar
+    (NULL/novel=true when nothing verifies).  Oracle: pinned
+    pure-Python XXH64 replay (scripts/replay_sketches.py)."""
+    bands = _minhash_bands(batch).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    cand = (
+        index.join(F.broadcast(bands), ["band", "bucket"])
+        .select("new_id", F.explode("docs").alias("old_id"))
+        .distinct()
+    )
+    new_sh = batch.select(
+        F.col("doc_id").alias("new_id"), _shingle_array().alias("sh_new")
+    )
+    cand_n = cand.join(F.broadcast(new_sh), "new_id")
+    old_sh = existing.select(
+        F.col("doc_id").alias("old_id"), _shingle_array().alias("sh_old")
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_old"))
+    jac = inter / (F.size("sh_new") + F.size("sh_old") - inter)
+    hits = (
+        old_sh.join(F.broadcast(cand_n), "old_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+    )
+    return (
+        batch.select(F.col("doc_id"))
+        .join(F.broadcast(hits), F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("novel"),
+            "dup_of",
+        )
+    )
+
+
+def dedup_incremental_near(spark, sf_dir):
+    """Driver-gated wrapper: doc_id % INCR_NEW_MOD == 0 stands in for
+    today's crawl batch (same split as dedup_incremental); the rest of
+    the documents table is the existing corpus whose band index is
+    probed.  See incremental_near_dedup for semantics + scale shape."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    existing = d.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    return incremental_near_dedup(batch, minhash_band_index(existing), existing)
+
+
+def embedding_band_index(existing: DataFrame, tables: int,
+                         planes: int) -> DataFrame:
+    """The PERSISTED corpus sign-LSH index for embeddings: (tbl,
+    bucket) -> bounded postings of existing vec_ids — the vector twin
+    of minhash_band_index (same contract: built once, singleton
+    buckets KEPT, buckets above EMB_PIPE_BUCKET_CAP dropped as
+    degenerate regions)."""
+    from .similarity import _signatures_udf
+
+    sig = _signatures_udf(tables=tables, planes=planes)
+    return (
+        existing.select("vec_id", sig(F.col("embedding")).alias("bs"))
+        .select("vec_id", F.posexplode("bs").alias("tbl", "bucket"))
+        .groupBy("tbl", "bucket")
+        .agg(F.collect_set("vec_id").alias("vs"))
+        .filter(F.size("vs") <= EMB_PIPE_BUCKET_CAP)
+    )
+
+
+def incremental_emb_dedup(batch: DataFrame, index: DataFrame,
+                          existing: DataFrame, tables: int,
+                          planes: int) -> DataFrame:
+    """Embedding near-dup dedup of a NEW vector batch against the
+    EXISTING corpus via its persisted sign-LSH bucket index — the
+    embedding member of the incremental family (exact:
+    dedup_incremental, MinHash: dedup_incremental_near).  Same scale
+    contract: the batch side BROADCASTS into both probe joins, the
+    index and the vector store stream map-side, exact JVM-fold cosine
+    verifies only candidate pairs, old vectors are never re-signed or
+    re-shuffled.  Output mirrors the family: (vec_id, novel, dup_of),
+    dup_of = smallest existing vec_id with cosine >=
+    EMB_COS_THRESHOLD.  Oracle: pinned pure-Python replay (numpy
+    signatures + left-fold cosine, scripts/replay_sketches.py)."""
+    from .similarity import _signatures_udf
+
+    sig = _signatures_udf(tables=tables, planes=planes)
+    bands = (
+        batch.select(
+            F.col("vec_id").alias("new_id"), sig(F.col("embedding")).alias("bs")
+        )
+        .select("new_id", F.posexplode("bs").alias("tbl", "bucket"))
+    )
+    cand = (
+        index.join(F.broadcast(bands), ["tbl", "bucket"])
+        .select("new_id", F.explode("vs").alias("old_id"))
+        .distinct()
+    )
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    newv = batch.select(F.col("vec_id").alias("new_id"), dv.alias("v_new"))
+    cand_n = cand.join(F.broadcast(newv), "new_id")
+    oldv = existing.select(F.col("vec_id").alias("old_id"), dv.alias("v_old"))
+    cos = _pair_cos(F.col("v_new"), F.col("v_old"))
+    hits = (
+        oldv.join(F.broadcast(cand_n), "old_id")
+        .filter(cos >= EMB_COS_THRESHOLD)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+    )
+    return (
+        batch.select(F.col("vec_id"))
+        .join(F.broadcast(hits), F.col("vec_id") == F.col("new_id"), "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNull().alias("novel"),
+            "dup_of",
+        )
+    )
+
+
+def dedup_incremental_emb(spark, sf_dir):
+    """Driver-gated wrapper: vec_id % INCR_NEW_MOD == 0 is today's
+    vector batch; plane count scales with the full corpus size via the
+    session corpus-stats cache (no count job after first build)."""
+    from .similarity import LSH_TABLES, _auto_planes, _corpus_n
+
+    e = _t(spark, sf_dir, "embeddings")
+    planes = _auto_planes(_corpus_n(e, f"{sf_dir}/embeddings.parquet"))
+    batch = e.filter(F.col("vec_id") % INCR_NEW_MOD == 0)
+    existing = e.filter(F.col("vec_id") % INCR_NEW_MOD != 0)
+    return incremental_emb_dedup(
+        batch, embedding_band_index(existing, LSH_TABLES, planes),
+        existing, LSH_TABLES, planes,
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -672,6 +864,8 @@ QUERIES = {
     "dedup_pipeline": dedup_pipeline,
     "dedup_embedding_pipeline": dedup_embedding_pipeline,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_near": dedup_incremental_near,
+    "dedup_incremental_emb": dedup_incremental_emb,
 }
 
 ORACLES = {

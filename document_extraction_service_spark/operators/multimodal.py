@@ -4,17 +4,20 @@ The 100 TB training-data pipeline carries media payloads the same way
 this engine carries `html`: an opaque binary column plus a typed
 metadata struct, processed by Arrow-batched `mapInPandas` stages.  The
 Spark-side plumbing here — schema, batch iteration, partitioning
-behaviour, UDF signatures — is real and tested; the codec calls
-themselves are STUBBED (this container ships no image/audio libraries)
-behind `DecodeUnavailable` with a deterministic fake used for tests,
-clearly marked below.
+behaviour, UDF signatures — is real and tested.  Codec calls are
+GUARDED (r5): the real paths run when their library is importable —
+Pillow for images, PyAV for video, and the STDLIB wave module for WAV
+audio (which therefore executes and is content-tested in this
+container) — and raise `DecodeUnavailable` otherwise.  The pinned
+oracles use the deterministic md5-derived fakes (use_fake_decode=True,
+the queries() default), so adding codecs never moves the oracle.
 
 Stages (each a mapInPandas over Iterator[pd.DataFrame]):
   * sniff_media     — magic-byte container detection + size stats
-  * image_features  — decode -> (width, height, channels, phash64)   [stubbed]
-  * image_resize    — decode -> resize(w, h) -> re-encoded reference  [stubbed]
-  * audio_features  — decode -> (duration_s, sample_rate, rms)       [stubbed]
-  * frame_sample    — video -> every k-th frame reference            [stubbed]
+  * image_features  — decode -> (width, height, channels, phash64)  [Pillow-guarded]
+  * image_resize    — decode -> resize(w, h) -> re-encoded reference [Pillow-guarded]
+  * audio_features  — decode -> (duration_s, sample_rate, rms)      [stdlib WAV real]
+  * frame_sample    — video -> every k-th frame reference           [PyAV-guarded]
 """
 
 from __future__ import annotations
@@ -70,9 +73,13 @@ _MAGIC = {
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real codec path: no image/audio libs in this
-    container.  Replace `_decode_image_real` with a PIL/libvips call
-    when deploying with codecs installed."""
+    """Raised by the real codec path when the needed library is absent
+    or the payload does not decode.  The real paths below are GUARDED
+    (the SPARK_GRAFT_ICEBERG_JARS pattern, VERDICT r4 next-round #3):
+    `_decode_image_real` uses Pillow when importable,
+    `_decode_audio_real` decodes WAV with the stdlib wave module (runs
+    in THIS container), `_decode_video_real` uses PyAV when importable.
+    Callers degrade to decode_ok=false rows, never task failure."""
 
 
 def sniff_magic(payload: bytes | None) -> str:
@@ -84,8 +91,34 @@ def sniff_magic(payload: bytes | None) -> str:
     return "unknown"
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - stub
-    raise DecodeUnavailable("image codecs not installed in this environment")
+def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode via Pillow WHEN INSTALLED: (width, height,
+    phash64), phash64 = 8x8 average-hash over the grayscale thumbnail
+    (bit i set iff pixel i above the thumbnail mean; signed-int64
+    packed).  Raises DecodeUnavailable when Pillow is absent or the
+    payload is not a decodable image — the guarded test in
+    tests/test_multimodal.py runs this path when Pillow is present and
+    skips cleanly otherwise."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise DecodeUnavailable("Pillow not installed") from exc
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            px = list(im.convert("L").resize((8, 8)).getdata())
+    except Exception as exc:  # decode errors -> declared unavailability
+        raise DecodeUnavailable(f"image decode failed: {exc}") from exc
+    mean = sum(px) / 64.0
+    bits = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return w, h, bits
 
 
 def _fake_image_features(payload: bytes) -> tuple[int, int, int]:
@@ -170,12 +203,55 @@ FRAME_FPS = 24          # fake container framerate
 MAX_FRAMES_PER_VIDEO = 64  # output bound per input row (scale contract)
 
 
-def _decode_audio_real(payload: bytes):  # pragma: no cover - stub
-    raise DecodeUnavailable("audio codecs not installed in this environment")
+def _decode_audio_real(payload: bytes) -> tuple[int, float, float]:
+    """Real audio decode for WAV containers via the STDLIB wave module
+    — no third-party codec needed, so this path executes (and is
+    tested) in this container.  Returns (sample_rate, duration_s, rms)
+    with rms normalized to [0, 1] of integer full scale.  Non-WAV
+    containers and malformed RIFF raise DecodeUnavailable (a
+    soundfile/ffmpeg binding would widen coverage when installed)."""
+    import io
+    import math
+    import wave
+
+    if sniff_magic(payload) != "riff":
+        raise DecodeUnavailable("non-WAV container and no audio codec libs")
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            sw = w.getsampwidth()
+            frames = w.readframes(n)
+    except (wave.Error, EOFError) as exc:
+        raise DecodeUnavailable(f"wav parse failed: {exc}") from exc
+    duration_s = n / float(sr) if sr else 0.0
+    import numpy as np
+
+    if sw == 2 and frames:
+        s = np.frombuffer(frames[: (len(frames) // 2) * 2], dtype="<i2")
+        rms = float(math.sqrt(float(np.mean(s.astype(np.float64) ** 2))) / 32768.0)
+    elif sw == 1 and frames:
+        s = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        rms = float(math.sqrt(float(np.mean(s ** 2))) / 128.0)
+    else:
+        raise DecodeUnavailable(f"unsupported wav sample width {sw}")
+    return sr, duration_s, rms
 
 
-def _decode_video_real(payload: bytes):  # pragma: no cover - stub
-    raise DecodeUnavailable("video codecs not installed in this environment")
+def _decode_video_real(payload: bytes) -> int:
+    """Real video frame count via PyAV WHEN INSTALLED; raises
+    DecodeUnavailable otherwise (guarded test skips cleanly)."""
+    try:
+        import av
+    except ImportError as exc:
+        raise DecodeUnavailable("PyAV not installed") from exc
+    import io
+
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            return sum(1 for _ in container.decode(video=0))
+    except Exception as exc:
+        raise DecodeUnavailable(f"video decode failed: {exc}") from exc
 
 
 def _fake_audio_features(payload: bytes) -> tuple[int, float, float]:

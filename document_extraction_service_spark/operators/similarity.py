@@ -177,6 +177,26 @@ LSH_MAX_PLANES = 62  # bucket ids are signed int64: 62 sign bits + the
 # limit.
 
 
+# corpus-stats cache for plane sizing: keyed by table path, filled once
+# per session.  _auto_planes needs the corpus row count; paying a
+# (metadata-only, but driver-synchronized) count() job on EVERY query
+# construction was the one residual per-invocation wart of r4's scale
+# audit.  At production scale this row count would live in the table's
+# own stats (Iceberg snapshot summary) — a session dict is the local
+# equivalent.  Keys are file paths of immutable test/bench corpora;
+# callers with a changing table should pass n explicitly.
+_CORPUS_N_CACHE: dict[str, int] = {}
+
+
+def _corpus_n(df: DataFrame, cache_key: str | None) -> int:
+    if cache_key is not None and cache_key in _CORPUS_N_CACHE:
+        return _CORPUS_N_CACHE[cache_key]
+    n = df.count()  # metadata-only over parquet (row-group stats)
+    if cache_key is not None:
+        _CORPUS_N_CACHE[cache_key] = n
+    return n
+
+
 def _auto_planes(n: int) -> int:
     """Corpus-scaled plane count: keep the expected bucket population
     (n / 2^planes) at ~LSH_TARGET_BUCKET_POP (see the scaling-rule note
@@ -247,8 +267,8 @@ def lsh_candidates(spark, sf_dir, tables: int = LSH_TABLES,
     constants)."""
     e_raw = _t(spark, sf_dir, "embeddings")
     if planes is None:
-        # one metadata-only count (parquet row-group stats, no data scan)
-        planes = _auto_planes(e_raw.count())
+        # cached corpus count: zero Spark jobs after the first build
+        planes = _auto_planes(_corpus_n(e_raw, f"{sf_dir}/embeddings.parquet"))
     sig = _signatures_udf(tables=tables, planes=planes)
     e = e_raw.select(
         "vec_id",

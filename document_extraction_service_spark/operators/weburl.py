@@ -251,13 +251,82 @@ SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
 FROM c GROUP BY canonical_url
 """
 
+# hosts whose doc-level quality-gate pass rate falls below this are
+# flagged wholesale (domain-level curation: spam farms produce pages
+# that individually squeak past doc gates; the host AGGREGATE is the
+# stronger signal — the RefinedWeb/C4 domain-filter pattern)
+HOST_MIN_PASS = 0.85
+
+
+def web_host_quality(spark, sf_dir):
+    """Host-reputation filtering — the domain-level curation pass:
+    aggregate doc-level gate outcomes per host, then flag EVERY doc
+    from low-quality hosts.
+
+    Two-phase scale shape: phase 1 is one scan + a tiny per-host agg
+    with map-side combine (hosts are bounded by the web itself, ~1e8
+    rows at worst — here the 20 synthetic hosts of web_host_rollup);
+    phase 2 BROADCASTS the host-score table back onto the docs, so at
+    10^12 rows the docs side streams map-only with zero shuffle.  The
+    doc-level signal is curation.gate_reason() — one gate definition
+    composing across the batch gate, streaming gate, and this rollup.
+
+    Output: (doc_id, host, host_pass_rate, host_flagged)."""
+    from .curation import gate_reason
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:443/Articles/item-"), F.col("doc_id").cast("string"),
+    )
+    scored = d.select(
+        "doc_id",
+        host_of(url).alias("host"),
+        (gate_reason() == "ok").cast("long").alias("ok"),
+    )
+    rates = scored.groupBy("host").agg(
+        # longs/count in double is exact below 2^53 rows per host;
+        # floor-1e6 keeps the emitted value engine-stable regardless
+        (F.floor(F.sum("ok") / F.count(F.lit(1)) * 1e6) / 1e6)
+        .alias("host_pass_rate")
+    )
+    return (
+        scored.select("doc_id", "host")
+        .join(F.broadcast(rates), "host")
+        .select(
+            "doc_id", "host", "host_pass_rate",
+            (F.col("host_pass_rate") < HOST_MIN_PASS).alias("host_flagged"),
+        )
+    )
+
+
+def _sql_host_quality() -> str:
+    """Oracle assembled from the quality-gate oracle (same gate SQL,
+    same host construction as SQL_HOST_ROLLUP)."""
+    from .curation import SQL_QUALITY_GATE
+
+    return f"""
+WITH gate AS ({SQL_QUALITY_GATE}),
+h AS (SELECT doc_id, 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+             CASE WHEN keep THEN 1 ELSE 0 END AS ok
+      FROM gate),
+r AS (SELECT host, FLOOR(SUM(ok) * 1.0 / COUNT(*) * 1000000) / 1000000 AS host_pass_rate
+      FROM h GROUP BY host)
+SELECT h.doc_id, h.host, r.host_pass_rate,
+       r.host_pass_rate < {HOST_MIN_PASS} AS host_flagged
+FROM h JOIN r USING (host)
+"""
+
+
 QUERIES = {
     "web_url_canonicalize": web_url_canonicalize,
     "web_host_rollup": web_host_rollup,
     "web_url_dedup": web_url_dedup,
+    "web_host_quality": web_host_quality,
 }
 ORACLES = {
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
     "web_host_rollup": SQL_HOST_ROLLUP,
     "web_url_dedup": SQL_URL_DEDUP,
+    "web_host_quality": _sql_host_quality(),
 }

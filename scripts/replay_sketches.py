@@ -211,6 +211,54 @@ def _union_find_rows(verified: list[tuple[int, int]]) -> list[list]:
     return sorted(rows)
 
 
+def _band_buckets(text: str, seeds, rpb: int, n_bands: int) -> list[int]:
+    """The LSH band keys of one doc (mirrors dedup._minhash_bands)."""
+    sh_bytes = [s.encode("utf-8") for s in _shingles(text)]
+    mins = [
+        min(_signed(xxh64(b, seeds[j])) for b in sh_bytes)
+        for j in range(len(seeds))
+    ]
+    return [
+        spark_xxhash64(*mins[b * rpb:(b + 1) * rpb]) for b in range(n_bands)
+    ]
+
+
+def replay_incremental_near(docs) -> list[list]:
+    """dedup_incremental_near replay: existing-corpus band index
+    (capped postings, singletons KEPT) probed by the batch's bands,
+    exact full-universe Jaccard verify on candidates, dup_of = min
+    verified colliding existing doc id."""
+    from document_extraction_service_spark.operators.dedup import (
+        INCR_NEW_MOD, JACCARD_THRESHOLD, LSH_BANDS, MINHASH_BUCKET_CAP,
+        MINHASH_PERMS,
+    )
+
+    rpb = MINHASH_PERMS // LSH_BANDS
+    seeds = [xxh64(struct.pack("<i", j), 42) for j in range(MINHASH_PERMS)]
+    existing = [(i, t) for i, t in docs if i % INCR_NEW_MOD != 0]
+    batch = [(i, t) for i, t in docs if i % INCR_NEW_MOD == 0]
+    posts: dict[tuple[int, int], set[int]] = {}
+    for doc_id, text in existing:
+        for b, bucket in enumerate(_band_buckets(text, seeds, rpb, LSH_BANDS)):
+            posts.setdefault((b, bucket), set()).add(doc_id)
+    posts = {k: v for k, v in posts.items() if len(v) <= MINHASH_BUCKET_CAP}
+    sets = {i: set(_shingles(t)) for i, t in docs}
+    rows = []
+    for doc_id, text in batch:
+        cand: set[int] = set()
+        for b, bucket in enumerate(_band_buckets(text, seeds, rpb, LSH_BANDS)):
+            cand |= posts.get((b, bucket), set())
+        hits = []
+        for old in cand:
+            inter = len(sets[doc_id] & sets[old])
+            jac = inter / (len(sets[doc_id]) + len(sets[old]) - inter)
+            if jac >= JACCARD_THRESHOLD:
+                hits.append(old)
+        dup = min(hits) if hits else None
+        rows.append([doc_id, dup is None, dup])
+    return sorted(rows, key=lambda r: r[0])
+
+
 def replay_simhash(docs) -> list[list]:
     from document_extraction_service_spark.operators.dedup import (
         SIMHASH_BUCKET_CAP, SIMHASH_MAX_HAMMING,
@@ -352,6 +400,50 @@ def replay_ann_ivf(embs) -> list[list]:
     return _topk(cands, S.TOP_K)
 
 
+def replay_incremental_emb(embs) -> list[list]:
+    """dedup_incremental_emb replay: existing-corpus sign-LSH bucket
+    index (capped postings, singletons KEPT) probed by the batch's
+    signatures, left-fold cosine verify >= EMB_COS_THRESHOLD, dup_of =
+    min verified colliding existing vec_id."""
+    import numpy as np
+
+    from document_extraction_service_spark.operators import similarity as S
+    from document_extraction_service_spark.operators.dedup import (
+        EMB_COS_THRESHOLD, EMB_PIPE_BUCKET_CAP, INCR_NEW_MOD,
+    )
+
+    ids = [vid for vid, _, _ in embs]
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for _, v, _ in embs])
+    planes = S._auto_planes(len(embs))  # full-corpus count, like the query
+    pl = S._planes(tables=S.LSH_TABLES, planes=planes)
+    pow2 = np.array([2 ** k for k in range(planes)], dtype=np.int64)
+    bits = (mat @ pl) >= 0
+    bits = bits.reshape(len(embs), S.LSH_TABLES, planes)
+    buckets = (bits * pow2).sum(axis=2).astype("int64")
+
+    posts: dict[tuple[int, int], set[int]] = {}
+    for row, vid in enumerate(ids):
+        if vid % INCR_NEW_MOD == 0:
+            continue  # batch rows are not in the index
+        for t in range(S.LSH_TABLES):
+            posts.setdefault((t, int(buckets[row, t])), set()).add(vid)
+    posts = {k: v for k, v in posts.items() if len(v) <= EMB_PIPE_BUCKET_CAP}
+
+    vecs = {vid: [float(x) for x in mat[row]] for row, vid in enumerate(ids)}
+    rows = []
+    for row, vid in enumerate(ids):
+        if vid % INCR_NEW_MOD != 0:
+            continue
+        cand: set[int] = set()
+        for t in range(S.LSH_TABLES):
+            cand |= posts.get((t, int(buckets[row, t])), set())
+        hits = [o for o in cand
+                if _fold_cosine(vecs[vid], vecs[o]) >= EMB_COS_THRESHOLD]
+        dup = min(hits) if hits else None
+        rows.append([vid, dup is None, dup])
+    return sorted(rows, key=lambda r: r[0])
+
+
 def replay_emb_pipeline(embs) -> list[list]:
     """dedup_embedding_pipeline replay: all-pairs sign-LSH candidates
     (numpy signatures, capped buckets) -> left-fold cosine verify ->
@@ -472,6 +564,11 @@ def main() -> None:
             "types": ["BIGINT", "BIGINT", "BIGINT"],
             "keyed": "documents", "sets": {},
         },
+        "dedup_incremental_near": {
+            "columns": ["doc_id", "novel", "dup_of"],
+            "types": ["BIGINT", "BOOLEAN", "BIGINT"],
+            "keyed": "documents", "sets": {},
+        },
         "ann_lsh_bucketed": {
             "columns": ["query_id", "rank", "neighbor_id", "cosine"],
             "types": ["BIGINT", "INTEGER", "BIGINT", "DOUBLE"],
@@ -487,6 +584,11 @@ def main() -> None:
             "types": ["BIGINT", "BIGINT", "BIGINT"],
             "keyed": "embeddings", "sets": {},
         },
+        "dedup_incremental_emb": {
+            "columns": ["vec_id", "novel", "dup_of"],
+            "types": ["BIGINT", "BOOLEAN", "BIGINT"],
+            "keyed": "embeddings", "sets": {},
+        },
     }
     for sf in SF_DIRS:
         d = pd.read_parquet(os.path.join(sf, "documents.parquet"))
@@ -499,9 +601,11 @@ def main() -> None:
         inv["dedup_minhash_lsh"]["sets"][dk] = replay_minhash(docs)
         inv["dedup_simhash"]["sets"][dk] = replay_simhash(docs)
         inv["dedup_pipeline"]["sets"][dk] = replay_pipeline(docs)
+        inv["dedup_incremental_near"]["sets"][dk] = replay_incremental_near(docs)
         inv["ann_lsh_bucketed"]["sets"][ek] = replay_ann_lsh(embs)
         inv["ann_ivf"]["sets"][ek] = replay_ann_ivf(embs)
         inv["dedup_embedding_pipeline"]["sets"][ek] = replay_emb_pipeline(embs)
+        inv["dedup_incremental_emb"]["sets"][ek] = replay_incremental_emb(embs)
 
     media = replay_media()
     inv["media_features"] = {

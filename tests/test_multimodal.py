@@ -49,7 +49,11 @@ def test_stubbed_decode_path_captured(spark):
     rows = feats.collect()
     assert len(rows) == 10
     assert all(r["decode_ok"] is False for r in rows)
-    assert all("not installed" in r["decode_error"] for r in rows)
+    # Pillow absent -> "not installed"; Pillow present -> html payloads
+    # are not decodable images -> "decode failed" (both are the guarded
+    # path declaring unavailability, never a task failure)
+    assert all("not installed" in r["decode_error"]
+               or "decode failed" in r["decode_error"] for r in rows)
     # metadata still flows even when decode is unavailable
     assert all(r["n_bytes"] > 0 for r in rows)
 
@@ -118,3 +122,138 @@ def test_image_resize_real_decode_stubbed(spark):
     media = MM.media_from_pages(spark, 60).filter(F.col("kind") == "image").limit(4)
     rows = MM.image_resize(media, use_fake_decode=False).collect()
     assert rows and all(not r["decode_ok"] for r in rows)
+
+
+# --- guarded REAL codec paths (VERDICT r4 next-round #3) --------------------
+# The real decode paths run when their codec library is present and the
+# payload genuinely decodes; the pinned oracles stay on the fakes.  The
+# WAV path needs only the stdlib wave module, so it executes (content
+# semantics and all) in THIS container; image/video skip cleanly until
+# Pillow / PyAV are installed.
+
+def _wav_bytes(sr=16000, seconds=0.25, amp=0.5, freq=440.0) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(sr * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr)))
+            for i in range(n)
+        ))
+    return buf.getvalue()
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+
+
+def test_audio_real_decode_wav_content(spark):
+    """REAL audio decode (stdlib wave): a synthesized 440 Hz sine WAV
+    must come back with the exact sample rate and duration and an RMS
+    within 1% of amp/sqrt(2); a non-WAV payload in the same batch
+    degrades to decode_ok=false.  Output schema must equal the fake
+    path's schema (same plumbing, different decoder)."""
+    import math
+
+    wav = _wav_bytes(sr=16000, seconds=0.25, amp=0.5)
+    media = _media_df(spark, [
+        ("a1", "audio", wav),
+        ("a2", "audio", b"<html>not audio</html>"),
+    ])
+    real = MM.audio_features(media, use_fake_decode=False)
+    fake = MM.audio_features(media, use_fake_decode=True)
+    assert real.schema == fake.schema
+    rows = {r["media_id"]: r for r in real.collect()}
+    ok = rows["a1"]
+    assert ok["decode_ok"] is True
+    assert ok["magic"] == "riff"
+    assert ok["sample_rate"] == 16000
+    assert abs(ok["duration_s"] - 0.25) < 1e-9
+    assert abs(ok["rms"] - 0.5 / math.sqrt(2)) < 0.005
+    bad = rows["a2"]
+    assert bad["decode_ok"] is False and "codec" in bad["decode_error"]
+
+
+def test_audio_real_decode_malformed_riff(spark):
+    """A RIFF magic with garbage body must degrade, not crash."""
+    media = _media_df(spark, [("x", "audio", b"RIFF....WAVEgarbage")])
+    r = MM.audio_features(media, use_fake_decode=False).collect()[0]
+    assert r["decode_ok"] is False and "wav parse failed" in r["decode_error"]
+
+
+def test_image_real_decode_guarded(spark):
+    """REAL image decode via Pillow — runs when Pillow is installed
+    (skips cleanly here): a generated 48x32 PNG must round-trip its
+    dimensions and produce a deterministic phash; schema equals the
+    fake path's."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = PIL_Image.new("RGB", (48, 32), (200, 10, 10))
+    for x in range(24):
+        for y in range(16):
+            im.putpixel((x, y), (0, 0, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    w, h, phash = MM._decode_image_real(png)
+    assert (w, h) == (48, 32)
+    assert MM._decode_image_real(png) == (w, h, phash)  # deterministic
+
+    media = _media_df(spark, [("i1", "image", png),
+                              ("i2", "image", b"not an image")])
+    real = MM.image_features(media, use_fake_decode=False)
+    fake = MM.image_features(media, use_fake_decode=True)
+    assert real.schema == fake.schema
+    rows = {r["media_id"]: r for r in real.collect()}
+    assert rows["i1"]["decode_ok"] is True
+    assert (rows["i1"]["width"], rows["i1"]["height"]) == (48, 32)
+    assert rows["i1"]["phash64"] == phash
+    assert rows["i2"]["decode_ok"] is False
+
+    resized = {r["media_id"]: r
+               for r in MM.image_resize(media, max_side=24,
+                                        use_fake_decode=False).collect()}
+    assert (resized["i1"]["dst_width"], resized["i1"]["dst_height"]) == (24, 16)
+
+
+def test_video_real_decode_guarded(spark):
+    """REAL video decode via PyAV — runs when PyAV is installed (skips
+    cleanly here): an encoded 10-frame clip must sample frames from the
+    real count; schema equals the fake path's."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=24)
+        stream.width, stream.height = 64, 48
+        for i in range(10):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((48, 64, 3), i * 20, dtype=np.uint8), format="rgb24"
+            )
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    clip = buf.getvalue()
+
+    assert MM._decode_video_real(clip) == 10
+    media = _media_df(spark, [("v1", "video", clip)])
+    real = MM.frame_sample(media, every_k=4, use_fake_decode=False)
+    fake = MM.frame_sample(media, every_k=4, use_fake_decode=True)
+    assert real.schema == fake.schema
+    idxs = sorted(r["frame_idx"] for r in real.collect())
+    assert idxs == [0, 4, 8]

