@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_incremental_near",
     "dedup_incremental_emb",
+    "dedup_passage",
     "dedup_embedding_pipeline",
     "ann_topk_bruteforce",
     "ann_topk_filtered",

@@ -854,6 +854,121 @@ def dedup_incremental_emb(spark, sf_dir):
     )
 
 
+# --- passage-level dedup (copied spans across otherwise-distinct docs) ------
+# Whole-doc Jaccard misses a page that COPIES one paragraph from another
+# page but differs elsewhere; passage fingerprinting (Rabin-Karp window
+# hashes + mod-p sampling, the Broder/Manber document-fingerprinting
+# family) catches exactly that.  Sampling keeps 1/PASSAGE_MOD_P of the
+# window hashes deterministically (h % p == 0) — position-independent,
+# so the same passage samples to the same fingerprints in every doc
+# that contains it (unlike every-k-th-window sampling, which breaks on
+# shifted offsets).
+PASSAGE_W = 8          # passage window size, tokens
+PASSAGE_MOD_P = 8      # keep window hashes with h % p == 0 (~1/8)
+PASSAGE_DF_CAP = 64    # postings bound per sampled fingerprint
+PASSAGE_MIN_SHARED = 2  # pairs must share >= this many sampled passages
+
+
+def _passage_fps():
+    """Column: DISTINCT sampled passage fingerprints of `text` — the
+    PASSAGE_W-token Rabin-Karp window hashes (same polynomial as
+    textstats.text_rolling_fingerprint) that pass the mod-p sample.
+
+    Built with the slice+zip_with pattern (the _word_ngrams performance
+    contract): every array is a HOF ARGUMENT, never indexed per element
+    by a lambda, so the cost is O(W * n_tokens) per row with split(text)
+    evaluated a constant number of times."""
+    from .textstats import ROLL_BASE, ROLL_MOD, ROLL_SEED
+
+    toks = F.split(F.col("text"), " ")
+    tok_val = F.transform(
+        toks,
+        lambda t: (
+            (F.length(t) * 31 + F.ascii(t)) * 31
+            + F.ascii(F.substring(t, -1, 1))
+        ).cast("long"),
+    )
+    n_win = F.greatest(F.size(toks) - PASSAGE_W + 1, F.lit(0))
+
+    def vshift(k: int):
+        return F.slice(tok_val, k + 1, n_win)
+
+    acc = F.transform(
+        vshift(0),
+        lambda v: (F.lit(ROLL_SEED).cast("long") * ROLL_BASE + v + 1) % ROLL_MOD,
+    )
+    for k in range(1, PASSAGE_W):
+        acc = F.zip_with(
+            acc, vshift(k), lambda a, v: (a * ROLL_BASE + v + 1) % ROLL_MOD
+        )
+    return F.array_distinct(F.filter(acc, lambda h: h % PASSAGE_MOD_P == 0))
+
+
+def dedup_passage(spark, sf_dir):
+    """Cross-document shared-passage pairs: docs sharing >=
+    PASSAGE_MIN_SHARED sampled passage fingerprints, with the shared
+    count.  The operator whole-doc dedup cannot replace: it finds the
+    page that lifted one paragraph.
+
+    Scale shape: identical to the engine's other sketch joins — one
+    shuffle builds capped postings per fingerprint (PASSAGE_DF_CAP
+    bounds the pair space at n_fps * cap^2; a fingerprint in hundreds
+    of docs is boilerplate, which is rel_recurring/quality-gate
+    territory, not passage-copy signal), pairs come from the JVM double
+    explode, no self-join.  Everything up to the postings shuffle is a
+    pure map (window hashes are integer arithmetic inside codegen'd
+    HOFs — no Python, no strings beyond the one split)."""
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select("doc_id", F.explode(_passage_fps()).alias("fp"))
+    posts = (
+        fps.groupBy("fp")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= PASSAGE_DF_CAP))
+    )
+    pairs = (
+        posts.select(F.explode("docs").alias("doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.filter("docs", lambda x: x > F.col("doc_a"))).alias("doc_b"),
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+        .filter(F.col("n_shared_passages") >= PASSAGE_MIN_SHARED)
+    )
+
+
+def _sql_passage() -> str:
+    from .textstats import ROLL_BASE, ROLL_MOD, ROLL_SEED
+
+    val = ("CAST((length(t) * 31 + CASE WHEN t = '' THEN 0 ELSE unicode(t) END) * 31"
+           " + CASE WHEN t = '' THEN 0"
+           " ELSE unicode(substr(t, length(t), 1)) END AS BIGINT)")
+    return f"""
+WITH v AS (SELECT doc_id,
+                  list_transform(string_split(text, ' '), t -> {val}) AS vals
+           FROM documents),
+w AS (SELECT doc_id,
+             [list_reduce(list_prepend(CAST({ROLL_SEED} AS BIGINT),
+                                       vals[i:i+{PASSAGE_W - 1}]),
+                          (a, b) -> (a * {ROLL_BASE} + b + 1) % {ROLL_MOD})
+              FOR i IN range(1, len(vals) - {PASSAGE_W} + 2)] AS hs
+      FROM v),
+fp AS (SELECT DISTINCT doc_id, u.fp
+       FROM w, UNNEST(list_filter(hs, h -> h % {PASSAGE_MOD_P} = 0)) AS u(fp)),
+df AS (SELECT fp FROM fp GROUP BY fp
+       HAVING COUNT(*) BETWEEN 2 AND {PASSAGE_DF_CAP}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_shared_passages
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN df ON df.fp = a.fp
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared_passages FROM pairs
+WHERE n_shared_passages >= {PASSAGE_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -866,11 +981,13 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
     "dedup_incremental_emb": dedup_incremental_emb,
+    "dedup_passage": dedup_passage,
 }
 
 ORACLES = {
     "dedup_exact": SQL_EXACT,
     "dedup_incremental": SQL_INCREMENTAL,
+    "dedup_passage": _sql_passage(),
     "dedup_ngram_jaccard": SQL_JACCARD,
     "dedup_embedding_cosine": SQL_EMB_COSINE,
     "dedup_clusters": SQL_CLUSTERS,

@@ -653,6 +653,26 @@ def test_incremental_emb_dedup_consistency(spark):
         assert fold_cos(vecs[new_id], vecs[old_id]) >= EMB_COS_THRESHOLD
 
 
+def test_passage_dedup_finds_copied_paragraph(spark, tmp_path):
+    """Two docs that differ everywhere except one copied 60-token
+    paragraph must pair (whole-doc Jaccard would miss them); an
+    unrelated doc stays out.  Deterministic: mod-p sampling of
+    Rabin-Karp window hashes has no RNG — the shared paragraph yields
+    the same 5 sampled fingerprints in both docs (pinned)."""
+    shared = " ".join(f"shared{i} token{i}" for i in range(30))
+    d = _write_docs(tmp_path, [
+        (1, "intro about apples and fruit markets generally speaking "
+            + shared + " closing thoughts on apples"),
+        (2, "completely different essay on trains and rails "
+            + shared + " terminus notes about stations"),
+        (3, "unrelated text about rivers lakes and mountains with no "
+            "copied content at all whatsoever here"),
+    ])
+    rows = [(r["doc_a"], r["doc_b"], r["n_shared_passages"])
+            for r in entry.queries()["dedup_passage"](spark, d).collect()]
+    assert rows == [(1, 2, 5)]
+
+
 def test_host_quality_flags_whole_hosts(spark):
     """web_host_quality semantics: every doc of one host carries the
     same (rate, flag); flagged iff rate < HOST_MIN_PASS; both flagged
