@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "curate_decontaminate",
     "curate_quality_gate",
+    "curate_token_budget",
     "web_url_dedup",
     "web_host_quality",
     "text_langid",

@@ -349,12 +349,119 @@ WHERE ng.doc_id % {CONTAM_MOD} != 0
 GROUP BY ng.doc_id
 """
 
+# --- token-budget corpus packing (training-mix assembly) --------------------
+# "Give me the best ~40% of the corpus by tokens" WITHOUT a global sort:
+# a global quality sort + running token sum is inherently sequential
+# (one task sees every row).  The scale-correct construction quantizes
+# quality into N_QUALITY_BINS, aggregates token mass per bin (<= 32
+# rows), solves the greedy knapsack over those 32 rows with a window —
+# full bins keep everything, the single boundary bin keeps a
+# deterministic md5-hash fraction, lower bins drop — and broadcasts the
+# 32-row rule back onto the docs.  Per-doc work is a pure map + one
+# tiny agg; the only window in the plan runs over <= 32 rows.
+TOKEN_BUDGET_FRACTION = 0.4
+N_QUALITY_BINS = 32
+
+
+def curate_token_budget(spark, sf_dir):
+    """(doc_id, qbin, n_tokens, kept): kept docs total ~
+    TOKEN_BUDGET_FRACTION of corpus tokens, chosen best-quality-first
+    (same quality formula as curate_corpus).  Deterministic: the
+    boundary bin samples by md5(doc_id) fraction (the
+    curate_sample_stratified pattern), so reruns select the same
+    docs."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " "))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    en_hits = _marker_hits("en")
+    q = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(en_hits / n_words * 5.0, F.lit(1.0)) * 0.4
+        + F.least((n_alpha / n_words) / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)"))
+        .alias("n_tokens"),
+        F.least(
+            F.floor(q * N_QUALITY_BINS).cast("int"), F.lit(N_QUALITY_BINS - 1)
+        ).alias("qbin"),
+    )
+    bins = per_doc.groupBy("qbin").agg(F.sum("n_tokens").alias("bt"))
+    # windows over the <= 32-row bin table ONLY (the single-task window
+    # is bounded by construction — never over docs)
+    w_desc = Window.orderBy(F.desc("qbin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    r = bins.select(
+        "qbin", "bt",
+        F.coalesce(F.sum("bt").over(w_desc), F.lit(0)).alias("taken"),
+        F.floor(F.sum("bt").over(w_all) * TOKEN_BUDGET_FRACTION).alias("budget"),
+    )
+    rule = r.select(
+        "qbin",
+        F.when(F.col("taken") + F.col("bt") <= F.col("budget"), F.lit(1.0))
+        .when(F.col("taken") >= F.col("budget"), F.lit(0.0))
+        .otherwise((F.col("budget") - F.col("taken")) / F.col("bt"))
+        .alias("keep_frac"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    return (
+        per_doc.join(F.broadcast(rule), "qbin")
+        .select(
+            "doc_id", "qbin", "n_tokens",
+            (frac < F.col("keep_frac")).alias("kept"),
+        )
+    )
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH s AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+                  len(string_split(trim(text), ' ')) AS n_words,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                  len(regexp_extract_all(lower(text), '{_EN}')) AS en_hits
+           FROM documents),
+p AS (SELECT doc_id, n_tokens,
+             LEAST(CAST(FLOOR((least(n_words / 100.0, 1.0) * 0.4
+                               + least(en_hits * 1.0 / n_words * 5.0, 1.0) * 0.4
+                               + least((n_alpha * 1.0 / n_words) / 8.0, 1.0) * 0.2)
+                              * {N_QUALITY_BINS}) AS INTEGER),
+                   {N_QUALITY_BINS - 1}) AS qbin
+      FROM s),
+b AS (SELECT qbin, SUM(n_tokens) AS bt FROM p GROUP BY qbin),
+r AS (SELECT qbin, bt,
+             COALESCE(SUM(bt) OVER (ORDER BY qbin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken,
+             FLOOR(SUM(bt) OVER () * {TOKEN_BUDGET_FRACTION}) AS budget
+      FROM b),
+rule AS (SELECT qbin,
+                CASE WHEN taken + bt <= budget THEN 1.0
+                     WHEN taken >= budget THEN 0.0
+                     ELSE (budget - taken) * 1.0 / bt END AS keep_frac
+         FROM r),
+f AS (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               / 4294967296.0 AS frac
+      FROM documents)
+SELECT p.doc_id, p.qbin, p.n_tokens, f.frac < rule.keep_frac AS kept
+FROM p JOIN rule USING (qbin) JOIN f ON f.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
     "curate_decontaminate": curate_decontaminate,
     "curate_quality_gate": curate_quality_gate,
     "curate_gate_report": curate_gate_report,
+    "curate_token_budget": curate_token_budget,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
@@ -362,4 +469,5 @@ ORACLES = {
     "curate_decontaminate": SQL_DECONTAM,
     "curate_quality_gate": SQL_QUALITY_GATE,
     "curate_gate_report": SQL_GATE_REPORT,
+    "curate_token_budget": SQL_TOKEN_BUDGET,
 }

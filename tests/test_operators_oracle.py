@@ -653,6 +653,35 @@ def test_incremental_emb_dedup_consistency(spark):
         assert fold_cos(vecs[new_id], vecs[old_id]) >= EMB_COS_THRESHOLD
 
 
+def test_token_budget_packs_best_quality_first(spark):
+    """curate_token_budget semantics at sf0.001: kept token mass lands
+    within boundary-bin sampling noise of the target fraction; keeps
+    are quality-monotone (at most ONE mixed bin — the boundary — with
+    full bins above it and empty bins below); the doc side joins the
+    32-row rule by broadcast."""
+    from document_extraction_service_spark.operators.curation import (
+        TOKEN_BUDGET_FRACTION,
+    )
+
+    df = entry.queries()["curate_token_budget"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500
+    total = sum(r["n_tokens"] for r in rows)
+    kept = sum(r["n_tokens"] for r in rows if r["kept"])
+    assert abs(kept / total - TOKEN_BUDGET_FRACTION) < 0.05, kept / total
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["qbin"], []).append(r["kept"])
+    mixed = sorted(b for b, ks in by_bin.items() if any(ks) and not all(ks))
+    assert len(mixed) <= 1, f"more than one boundary bin: {mixed}"
+    if mixed:
+        b = mixed[0]
+        assert all(all(ks) for bb, ks in by_bin.items() if bb > b)
+        assert all(not any(ks) for bb, ks in by_bin.items() if bb < b)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_passage_dedup_finds_copied_paragraph(spark, tmp_path):
     """Two docs that differ everywhere except one copied 60-token
     paragraph must pair (whole-doc Jaccard would miss them); an
