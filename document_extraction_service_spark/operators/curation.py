@@ -455,6 +455,94 @@ FROM p JOIN rule USING (qbin) JOIN f ON f.doc_id = p.doc_id
 """
 
 
+# --- target-mixture balancing (training-mix assembly) -----------------------
+# A training corpus is specified as PROPORTIONS over strata ("50% en,
+# 20% de, ...": the Pile, Llama, DoReMi all publish such mixtures),
+# but the pool's availability per stratum never matches the target.
+# The feasibility-scaled construction: the largest total token budget
+# T for which every stratum can supply its share is
+# T = min_s avail_s / target_s; each stratum then keeps rate_s =
+# target_s * T / avail_s of its token mass (rate = 1 for the binding
+# stratum) via the deterministic md5-fraction sampler.
+MIXTURE_TARGET = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+
+
+def curate_domain_mixture(spark, sf_dir):
+    """(doc_id, lang, n_tokens, rate, kept): deterministic downsampling
+    so kept token mass matches MIXTURE_TARGET proportions at the
+    maximum feasible budget.  Langs outside the target get rate 0.
+
+    Scale shape: availability is one map-side-combined aggregation to
+    <= n_langs rows; the budget scalar and the per-stratum rate table
+    both stay driver-free (a <= n_langs-row cross join, then a
+    BROADCAST join back onto the docs), so the per-doc decision is a
+    pure map over one corpus scan — same shape as
+    curate_sample_stratified but with DATA-DERIVED rates.
+    Deterministic: rates are floored to 1e-6 (identical double
+    arithmetic both engines); the keep decision is a pure function of
+    doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", "lang",
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)"))
+        .alias("n_tokens"),
+    )
+    tgt = F.lit(None).cast("double")
+    for lg, t in sorted(MIXTURE_TARGET.items()):
+        tgt = F.when(F.col("lang") == lg, F.lit(t)).otherwise(tgt)
+    avail = (
+        per_doc.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("avail"))
+        .withColumn("tgt", tgt)
+        .filter(F.col("tgt").isNotNull())
+    )
+    budget = avail.agg(F.min(F.col("avail") / F.col("tgt")).alias("t_max"))
+    rates = (
+        avail.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            (F.floor(
+                F.least(F.lit(1.0), F.col("tgt") * F.col("t_max") / F.col("avail"))
+                * 1_000_000
+            ) / 1_000_000).alias("rate"),
+        )
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    return (
+        per_doc.join(F.broadcast(rates), "lang", "left")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.coalesce(F.col("rate"), F.lit(0.0)).alias("rate"),
+            (frac < F.coalesce(F.col("rate"), F.lit(0.0))).alias("kept"),
+        )
+    )
+
+
+_TGT_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lg}' THEN {t}" for lg, t in sorted(MIXTURE_TARGET.items())
+) + " ELSE NULL END"
+
+SQL_MIXTURE = f"""
+WITH p AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+           FROM documents),
+a AS (SELECT lang, SUM(n_tokens) AS avail, {_TGT_CASE} AS tgt
+      FROM p GROUP BY lang HAVING {_TGT_CASE} IS NOT NULL),
+b AS (SELECT MIN(avail / tgt) AS t_max FROM a),
+r AS (SELECT lang,
+             FLOOR(LEAST(1.0, tgt * t_max / avail) * 1000000) / 1000000 AS rate
+      FROM a, b)
+SELECT p.doc_id, p.lang, p.n_tokens,
+       COALESCE(r.rate, 0.0) AS rate,
+       CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         / 4294967296.0 < COALESCE(r.rate, 0.0) AS kept
+FROM p LEFT JOIN r ON p.lang = r.lang
+"""
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
@@ -462,6 +550,7 @@ QUERIES = {
     "curate_quality_gate": curate_quality_gate,
     "curate_gate_report": curate_gate_report,
     "curate_token_budget": curate_token_budget,
+    "curate_domain_mixture": curate_domain_mixture,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
@@ -470,4 +559,5 @@ ORACLES = {
     "curate_quality_gate": SQL_QUALITY_GATE,
     "curate_gate_report": SQL_GATE_REPORT,
     "curate_token_budget": SQL_TOKEN_BUDGET,
+    "curate_domain_mixture": SQL_MIXTURE,
 }

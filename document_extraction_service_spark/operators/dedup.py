@@ -969,6 +969,83 @@ WHERE n_shared_passages >= {PASSAGE_MIN_SHARED}
 """
 
 
+# --- quality-aware cluster representative selection -------------------------
+# Production dedup keeps the BEST document per near-dup cluster, not
+# the first: min-id canonicalization (dedup_clusters) throws away the
+# highest-quality copy whenever a cleaner rescrape got a larger id.
+# RefinedWeb/FineWeb-class pipelines therefore rank cluster members by
+# a quality score before collapsing.
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup clusters with quality-ranked survivor selection:
+    connected components over the verified Jaccard pair graph (same
+    graph as dedup_clusters), then within each cluster rank members by
+    (quality desc, doc_id asc) — rank 1 is the kept representative.
+
+    Scale shape: clustering is the bounded CC of dedup_clusters
+    ((node,label) longs only); the quality score is a pure map over
+    the cluster MEMBERS (a near-dup subset, not the corpus — the join
+    with documents is id-keyed); the ranking window partitions by
+    cluster_id, whose sizes are bounded by the capped pair generation
+    upstream (SHINGLE_DF_CAP), so no window partition can degenerate.
+    Deterministic: the floored score + doc_id tie-break is a total
+    order."""
+    from pyspark.sql import Window
+
+    from .textstats import _marker_hits
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = connected_components(
+        jaccard_pairs(d).select("doc_a", "doc_b")
+    )
+    n_words = F.size(F.split(F.trim(F.col("text")), " "))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(_marker_hits("en") / n_words * 5.0, F.lit(1.0)) * 0.4
+        + F.least((n_alpha / n_words) / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    scored = d.select(
+        "doc_id", (F.floor(score * 1_000_000) / 1_000_000).alias("quality")
+    )
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id", "cluster_id", "cluster_size", "quality",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+def _sql_kb_en_pat() -> str:
+    from .textstats import LANG_MARKERS
+
+    # single-backslash \b for DuckDB (Spark-side escaping is handled by
+    # _marker_hits; CLAUDE.md gotcha #2)
+    return "\\b(" + "|".join(LANG_MARKERS["en"]) + ")\\b"
+
+
+_SQL_KB_Q = f"""
+  floor((least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.4
+         + least(len(regexp_extract_all(lower(text), '{_sql_kb_en_pat()}'))
+                 * 1.0 / len(string_split(trim(text), ' ')) * 5.0, 1.0) * 0.4
+         + least((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                  / len(string_split(trim(text), ' '))) / 8.0, 1.0) * 0.2)
+        * 1000000) / 1000000
+"""
+
+SQL_KEEP_BEST = f"""
+WITH c AS ({SQL_CLUSTERS}),
+q AS (SELECT doc_id, {_SQL_KB_Q} AS quality FROM documents)
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality,
+       ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS kept
+FROM c JOIN q ON c.doc_id = q.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -982,6 +1059,7 @@ QUERIES = {
     "dedup_incremental_near": dedup_incremental_near,
     "dedup_incremental_emb": dedup_incremental_emb,
     "dedup_passage": dedup_passage,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLES = {
@@ -991,6 +1069,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_JACCARD,
     "dedup_embedding_cosine": SQL_EMB_COSINE,
     "dedup_clusters": SQL_CLUSTERS,
+    "dedup_keep_best": SQL_KEEP_BEST,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based -> pinned-replay
     # oracles built in __spark_entry__ from tests/golden/sketch_invariants.json
 }

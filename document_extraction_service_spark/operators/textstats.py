@@ -488,6 +488,99 @@ FROM g
 """
 
 
+# --- corpus-derived token rarity (LM-free perplexity proxy) -----------------
+# Published crawl curation (CCNet, RedPajama) scores documents by a
+# language-model perplexity; the LM-free analog is mean token SURPRISAL
+# against the corpus' own unigram distribution.  Transcendental-free
+# (project contract: no log/exp — libm last-ulp divergence): surprisal
+# is quantized into integer RANK BANDS of the frequency-ranked
+# vocabulary — band 0 = top-8 tokens, 1 = rank 9..64, 2 = 65..512,
+# 3 = rank 513..VOCAB_TOP, OOV_BAND for everything rarer.  A high mean
+# band = text made of rare/garbled tokens; a low band = stopword soup.
+VOCAB_TOP = 4096                  # bounded broadcast vocabulary
+RARITY_BANDS = (8, 64, 512)       # rank thresholds -> bands 0..3
+OOV_BAND = len(RARITY_BANDS) + 1  # out-of-vocabulary band (= 4)
+
+
+def rarity_scores(d: DataFrame) -> DataFrame:
+    """Mean token-rarity band per document against the corpus' own
+    frequency-ranked vocabulary (see module constants above).
+
+    Scale shape: token counting is ONE hash aggregation with map-side
+    combine (distinct tokens per partition cross the shuffle, not
+    occurrences); the vocabulary is truncated to VOCAB_TOP via the
+    same two-stage top-K as text_top_ngrams (partition-local
+    row_number, then a merge over <= K*P survivors — no task ever
+    sorts the full type/token distribution); the scoring join
+    BROADCASTS the <= VOCAB_TOP-row vocabulary, so per-doc scoring is
+    a map-side join + one (doc_id)-keyed agg whose map-side combine
+    reduces each doc to a single partial before the shuffle.  Nothing
+    here is proportional to corpus size except the two scans.
+    Deterministic: rank ties break (count desc, token asc) — total
+    order."""
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    local = counts.withColumn("part", F.spark_partition_id())
+    wl = Window.partitionBy("part").orderBy(F.desc("n"), F.asc("tok"))
+    pre = (
+        local.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= VOCAB_TOP)
+        .drop("part", "lr")
+    )
+    # single-task merge window, bounded at VOCAB_TOP * n_partitions rows
+    # by the local stage above (the two-stage top-k contract)
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("tok"))
+    rank = F.row_number().over(w)
+    band = sum(
+        (F.col("rank") > t).cast("int") for t in RARITY_BANDS
+    )
+    vocab = (
+        pre.withColumn("rank", rank)
+        .filter(F.col("rank") <= VOCAB_TOP)
+        .select("tok", band.alias("band"))
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    b = F.coalesce(F.col("band"), F.lit(OOV_BAND))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("band").isNull().cast("long")).alias("n_oov"),
+        # sum(band) <= 4 * n_tokens: *1e6 stays far inside the exact
+        # double range, so floor(mean*1e6) is bit-identical cross-engine
+        (F.floor(F.sum(b) * 1000000.0 / F.count(F.lit(1))) / 1000000)
+        .alias("rarity"),
+    )
+
+
+def text_rarity(spark, sf_dir):
+    """Driver entry: rarity_scores over the documents table."""
+    return rarity_scores(_t(spark, sf_dir, "documents"))
+
+
+_SQL_BAND = " + ".join(
+    f"CASE WHEN rank > {t} THEN 1 ELSE 0 END" for t in RARITY_BANDS
+)
+SQL_RARITY = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       UNNEST(t) AS u(tok)),
+c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+v AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank FROM c),
+vb AS (SELECT tok, {_SQL_BAND} AS band FROM v WHERE rank <= {VOCAB_TOP})
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN vb.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       FLOOR(SUM(COALESCE(vb.band, {OOV_BAND})) * 1000000.0 / COUNT(*))
+         / 1000000 AS rarity
+FROM toks t LEFT JOIN vb ON t.tok = vb.tok
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -497,6 +590,7 @@ QUERIES = {
     "text_top_ngrams": text_top_ngrams,
     "text_redact_pii": text_redact_pii,
     "text_repetition": text_repetition,
+    "text_rarity": text_rarity,
 }
 
 ORACLES = {
@@ -508,4 +602,5 @@ ORACLES = {
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "text_redact_pii": SQL_REDACT,
     "text_repetition": SQL_REPETITION,
+    "text_rarity": SQL_RARITY,
 }

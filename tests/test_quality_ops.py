@@ -1,0 +1,138 @@
+"""Semantic + plan-shape tests for the round-5 quality/curation
+operators: corpus-derived token rarity, quality-aware dedup survivor
+selection, and target-mixture balancing.  (Value-vs-DuckDB equality is
+covered for all three by test_operators_oracle.py's parametrized
+sweep; these tests pin the SEMANTIC contracts and the scale-critical
+plan shapes.)"""
+
+import pytest
+
+import __spark_entry__ as entry
+from document_extraction_service_spark.operators.curation import MIXTURE_TARGET
+from document_extraction_service_spark.operators.textstats import (
+    OOV_BAND,
+    rarity_scores,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- text_rarity ------------------------------------------------------------
+
+
+def test_rarity_vocab_join_is_broadcast(spark):
+    """The scoring join must broadcast the bounded vocabulary — a
+    sort-merge join on `tok` would shuffle every token occurrence of
+    the corpus (the 10^12-row side)."""
+    df = entry.queries()["text_rarity"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rarity_separates_common_from_rare(spark):
+    """A doc of corpus-dominant tokens must score strictly lower
+    rarity than a doc of hapaxes; a doc mixing both lands between."""
+    rows = []
+    # 40 filler docs pin 8 tokens into the top-8 (band-0) ranks, so
+    # hapaxes land at rank > 8 (band 1)
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta eps zeta eta theta"))
+    rows.append((100, "alpha beta alpha beta"))           # common only
+    rows.append((101, "zyxqv kjhgf wqpor mnbvi"))         # hapaxes only
+    rows.append((102, "alpha beta zyxqv2 kjhgf2"))        # half and half
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in rarity_scores(d).collect()}
+    assert out[100]["rarity"] < out[102]["rarity"] < out[101]["rarity"]
+    # tiny corpus: whole vocabulary fits VOCAB_TOP -> nothing is OOV
+    assert out[101]["n_oov"] == 0
+    assert all(0.0 <= v["rarity"] <= OOV_BAND for v in out.values())
+
+
+def test_rarity_score_bounds_and_counts(spark):
+    df = entry.queries()["text_rarity"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert all(0.0 <= r["rarity"] <= OOV_BAND for r in rows)
+
+
+# --- dedup_keep_best --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keep_best_rows(spark):
+    return entry.queries()["dedup_keep_best"](spark, SF_DIR).collect()
+
+
+def test_keep_best_exactly_one_survivor_per_cluster(keep_best_rows):
+    by_cluster = {}
+    for r in keep_best_rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(by_cluster) >= 1
+    for members in by_cluster.values():
+        assert sum(m["kept"] for m in members) == 1
+        assert len(members) == members[0]["cluster_size"]
+
+
+def test_keep_best_survivor_maximizes_quality(keep_best_rows):
+    """The kept member must be the (quality desc, doc_id asc) argmax —
+    the whole point of quality-aware canonicalization vs min-id."""
+    by_cluster = {}
+    for r in keep_best_rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        best = min(members, key=lambda m: (-m["quality"], m["doc_id"]))
+        kept = [m for m in members if m["kept"]][0]
+        assert kept["doc_id"] == best["doc_id"]
+
+
+# --- curate_domain_mixture --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mixture_rows(spark):
+    return entry.queries()["curate_domain_mixture"](spark, SF_DIR).collect()
+
+
+def test_mixture_rates_feasible(mixture_rows):
+    """Rates in [0,1]; at least one target stratum is binding (rate
+    floors to ~1); non-target strata get rate 0 and keep nothing."""
+    rates = {}
+    for r in mixture_rows:
+        rates[r["lang"]] = r["rate"]
+        if r["lang"] not in MIXTURE_TARGET:
+            assert r["rate"] == 0.0 and not r["kept"]
+    assert all(0.0 <= v <= 1.0 for v in rates.values())
+    assert max(rates[lg] for lg in MIXTURE_TARGET if lg in rates) >= 0.999998
+
+
+def test_mixture_matches_target_proportions(mixture_rows):
+    """Expected kept token mass per stratum (rate * avail) must sit in
+    the target proportions: rate_l * avail_l / (target_l) is the same
+    budget T for every target stratum (up to the 1e-6 rate floor)."""
+    avail, rate = {}, {}
+    for r in mixture_rows:
+        if r["lang"] in MIXTURE_TARGET:
+            avail[r["lang"]] = avail.get(r["lang"], 0) + r["n_tokens"]
+            rate[r["lang"]] = r["rate"]
+    budgets = [
+        rate[lg] * avail[lg] / MIXTURE_TARGET[lg] for lg in sorted(avail)
+    ]
+    assert len(budgets) >= 2
+    t = max(budgets)
+    # 1e-6 rate flooring perturbs each budget by at most avail/target*1e-6
+    assert all(b >= t * (1 - 1e-4) for b in budgets)
+
+
+def test_mixture_rate_table_is_broadcast(spark):
+    """The per-stratum rate table must broadcast back onto the docs —
+    the corpus side of the final join never shuffles."""
+    df = entry.queries()["curate_domain_mixture"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
