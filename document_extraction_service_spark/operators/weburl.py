@@ -318,15 +318,144 @@ FROM h JOIN r USING (host)
 """
 
 
+# --- host-graph PageRank (crawl prioritization) -----------------------------
+# Crawl pipelines rank hosts by link centrality to order the frontier
+# and weight domain trust (Common Crawl publishes host-level ranks for
+# exactly this).  Determinism contract: the iteration runs in FIXED-
+# POINT integer arithmetic (BIGINT scaled by PR_SCALE, floor division)
+# — integer addition is order-independent, so the ranks are
+# bit-identical across engines, partitionings, and reruns, which no
+# float PageRank can promise (float sums reorder under shuffle).
+PR_SCALE = 10**12
+PR_ITERS = 8
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as a rational
+
+
+def _host_edges(d: DataFrame) -> DataFrame:
+    """Deterministic host link graph from the documents table: each doc
+    on host (doc_id % 20) links to host ((doc_id % 20) + 1 + doc_id % 7)
+    % 20 — a skewed, aperiodic graph (same construction in the SQL
+    oracle)."""
+    src = (F.col("doc_id") % 20).cast("long")
+    dst = ((src + 1 + F.col("doc_id") % 7) % 20).cast("long")
+    return (
+        d.select(src.alias("src"), dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def web_host_pagerank(spark, sf_dir):
+    """Weighted host PageRank, PR_ITERS fixed-point iterations:
+
+        p0(h)  = PR_SCALE div N
+        p_i(h) = (15 * p0) div 100
+                 + (85 * sum over in-edges of (p(s) div outw(s)) * w) div 100
+
+    (dangling mass is dropped — 'weak' PageRank — mirrored exactly in
+    the oracle; flooring p div outw BEFORE the weight multiply keeps
+    every intermediate <= p(s), so the arithmetic cannot overflow
+    BIGINT at any host count).
+
+    Scale shape: per iteration ONE join of the edge table with the
+    rank table on src (both keyed by host — co-partitioned after the
+    first shuffle) + one map-side-combined sum on dst; only (host,
+    long) pairs ever shuffle, never documents.  The edge aggregation
+    upstream is one shuffle of (src, dst) pairs with map-side combine
+    — at 10^12 docs the host graph is ~1e8 nodes, the standard
+    iterative-PageRank working set.  N and the teleport base stay
+    driver-free (a broadcast one-row aggregate, the
+    curate_domain_mixture pattern); localCheckpoint per round
+    truncates the 8-deep lineage (the connected_components pattern).
+    Deterministic: integer ops only."""
+    d = _t(spark, sf_dir, "documents")
+    edges = _host_edges(d)
+    out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = edges.join(out, "src").localCheckpoint(eager=True)
+    hosts = (
+        ew.select(F.col("src").alias("host"))
+        .union(ew.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    consts = hosts.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(f"CAST({PR_SCALE} DIV n AS LONG)").alias("p0")
+    ).select(
+        "p0",
+        F.expr(f"CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * p0) DIV {PR_DAMP_DEN}"
+               " AS LONG)").alias("base"),
+    )
+    ranks = hosts.crossJoin(F.broadcast(consts)).select(
+        "host", F.col("p0").alias("p")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ew.join(ranks.select(F.col("host").alias("src"), "p"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("(p DIV outw) * w").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("host").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            hosts.join(inflow, "host", "left")
+            .crossJoin(F.broadcast(consts))
+            .select(
+                "host",
+                F.expr(f"CAST(base + ({PR_DAMP_NUM} * COALESCE(inflow, 0))"
+                       f" DIV {PR_DAMP_DEN} AS LONG)").alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("host", F.col("p").alias("rank_fp"))
+
+
+def _sql_pagerank() -> str:
+    """Oracle: the same fixed-point iteration unrolled as PR_ITERS CTE
+    stages (DuckDB disallows aggregates in a recursive term; a fixed
+    iteration count unrolls exactly).  `//` is DuckDB integer floor
+    division = Spark's DIV on the same non-negative BIGINTs."""
+    base_expr = (f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} // c.n))"
+                 f" // {PR_DAMP_DEN}")
+    parts = [f"""
+WITH e AS (SELECT src, dst, COUNT(*) AS w FROM (
+             SELECT CAST(doc_id % 20 AS BIGINT) AS src,
+                    CAST((doc_id % 20 + 1 + doc_id % 7) % 20 AS BIGINT) AS dst
+             FROM documents)
+           GROUP BY src, dst),
+o AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, o.outw FROM e JOIN o USING (src)),
+h AS (SELECT DISTINCT host FROM
+        (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+c AS (SELECT COUNT(*) AS n FROM h),
+p0 AS (SELECT h.host, {PR_SCALE} // c.n AS p FROM h, c)"""]
+    prev = "p0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""
+f{i} AS (SELECT ew.dst AS host, SUM((p.p // ew.outw) * ew.w) AS inflow
+        FROM ew JOIN {prev} p ON p.host = ew.src GROUP BY ew.dst),
+p{i} AS (SELECT h.host,
+               {base_expr} + ({PR_DAMP_NUM} * COALESCE(f{i}.inflow, 0))
+                 // {PR_DAMP_DEN} AS p
+        FROM h LEFT JOIN f{i} USING (host), c)""")
+        prev = f"p{i}"
+    return (
+        ",".join(parts)
+        + f"\nSELECT host, CAST(p AS BIGINT) AS rank_fp FROM {prev}"
+    )
+
+
 QUERIES = {
     "web_url_canonicalize": web_url_canonicalize,
     "web_host_rollup": web_host_rollup,
     "web_url_dedup": web_url_dedup,
     "web_host_quality": web_host_quality,
+    "web_host_pagerank": web_host_pagerank,
 }
 ORACLES = {
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
     "web_host_rollup": SQL_HOST_ROLLUP,
     "web_url_dedup": SQL_URL_DEDUP,
     "web_host_quality": _sql_host_quality(),
+    "web_host_pagerank": _sql_pagerank(),
 }
