@@ -543,6 +543,75 @@ FROM p LEFT JOIN r ON p.lang = r.lang
 """
 
 
+# --- sequence packing (training-batch assembly) -----------------------------
+# LM training consumes FIXED-LENGTH token sequences: documents are
+# concatenated in a deterministic order and chopped every
+# PACK_SEQ_TOKENS tokens (the GPT-2/3 recipe), so a packing pass must
+# tell each doc which sequence(s) its tokens land in.  Packing is
+# inherently a running sum — made scale-parallel by sharding first:
+# each shard packs independently (training files are per-shard
+# anyway), so the only window runs inside one shard.
+PACK_SEQ_TOKENS = 256
+PACK_SHARDS = 32
+
+
+def curate_pack_sequences(spark, sf_dir):
+    """(doc_id, shard, n_tokens, start_tok, seq_first, seq_last):
+    within shard = doc_id % PACK_SHARDS, docs concatenate in doc_id
+    order; start_tok is the doc's offset in the shard's token stream,
+    seq_first/seq_last the PACK_SEQ_TOKENS-sized training sequences
+    its tokens span (docs straddle boundaries, exactly like the
+    concatenate-and-chop training recipe).
+
+    Scale shape: ONE window (cumulative sum) partitioned by shard —
+    each shard is a single sorted task, so PACK_SHARDS is chosen so a
+    shard's (doc_id, n_tokens) pairs fit a task comfortably (the rows
+    are two longs; a 10^12-doc corpus at 10^5 shards is 10^7 rows of
+    16 bytes per task).  In production the shard is the output-file
+    key, so this pass rides the existing bucket layout: sort within
+    bucket, no extra global shuffle.  Integer arithmetic only —
+    deterministic and engine-exact."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)"))
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return per_doc.select(
+        "doc_id", "shard", "n_tokens", start.alias("start_tok")
+    ).select(
+        "doc_id", "shard", "n_tokens", "start_tok",
+        F.expr(f"CAST(start_tok DIV {PACK_SEQ_TOKENS} AS LONG)").alias("seq_first"),
+        F.expr(
+            f"CAST((start_tok + n_tokens - 1) DIV {PACK_SEQ_TOKENS} AS LONG)"
+        ).alias("seq_last"),
+    )
+
+
+SQL_PACK = f"""
+WITH p AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                  len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_tok
+      FROM p)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {PACK_SEQ_TOKENS} AS BIGINT) AS seq_first,
+       CAST((start_tok + n_tokens - 1) // {PACK_SEQ_TOKENS} AS BIGINT) AS seq_last
+FROM s
+"""
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
@@ -551,6 +620,7 @@ QUERIES = {
     "curate_gate_report": curate_gate_report,
     "curate_token_budget": curate_token_budget,
     "curate_domain_mixture": curate_domain_mixture,
+    "curate_pack_sequences": curate_pack_sequences,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
@@ -560,4 +630,5 @@ ORACLES = {
     "curate_gate_report": SQL_GATE_REPORT,
     "curate_token_budget": SQL_TOKEN_BUDGET,
     "curate_domain_mixture": SQL_MIXTURE,
+    "curate_pack_sequences": SQL_PACK,
 }

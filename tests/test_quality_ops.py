@@ -129,6 +129,31 @@ def test_mixture_matches_target_proportions(mixture_rows):
     assert all(b >= t * (1 - 1e-4) for b in budgets)
 
 
+# --- curate_pack_sequences --------------------------------------------------
+
+
+def test_pack_sequences_contiguous_per_shard(spark):
+    """Within each shard the token stream must be gapless and ordered:
+    every doc starts exactly where the previous one ended, and the
+    sequence span matches the integer chop arithmetic."""
+    from document_extraction_service_spark.operators.curation import (
+        PACK_SEQ_TOKENS,
+    )
+
+    rows = entry.queries()["curate_pack_sequences"](spark, SF_DIR).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda m: m["doc_id"])
+        pos = 0
+        for m in members:
+            assert m["start_tok"] == pos
+            assert m["seq_first"] == pos // PACK_SEQ_TOKENS
+            assert m["seq_last"] == (pos + m["n_tokens"] - 1) // PACK_SEQ_TOKENS
+            pos += m["n_tokens"]
+
+
 def test_mixture_rate_table_is_broadcast(spark):
     """The per-stratum rate table must broadcast back onto the docs —
     the corpus side of the final join never shuffles."""
