@@ -85,12 +85,17 @@ BENCH_QUERIES = [
     "curate_decontaminate",
     "curate_quality_gate",
     "curate_token_budget",
+    "curate_domain_mixture",
+    "curate_pack_sequences",
     "web_url_dedup",
     "web_host_quality",
+    "web_host_pagerank",
     "text_langid",
     "text_fingerprint",
     "text_top_ngrams",
     "text_repetition",
+    "text_rarity",
+    "dedup_keep_best",
 ]
 
 
