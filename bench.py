@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_rarity",
     "dedup_keep_best",
+    "dedup_containment",
 ]
 
 

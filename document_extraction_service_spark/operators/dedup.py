@@ -117,8 +117,12 @@ def capped_postings(docs: DataFrame) -> DataFrame:
     ).filter(F.size("docs") <= SHINGLE_DF_CAP)
 
 
-def jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """One shuffle on shingle builds the postings list per shingle; lists
+def _pair_overlap(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b) for every candidate pair
+    sharing >= 1 kept shingle (doc_a < doc_b) — the shared core of the
+    symmetric (Jaccard) and asymmetric (containment) near-dup scorers.
+
+    One shuffle on shingle builds the postings list per shingle; lists
     longer than SHINGLE_DF_CAP are dropped (no near-dup signal, and the
     cap bounds the pair blow-up to df_cap^2 per shingle — the uncapped
     form is sum of postings^2 and detonates on one hot trigram at crawl
@@ -142,21 +146,68 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     common = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs with exact Jaccard >= JACCARD_THRESHOLD over the
+    capped shingle universe — see _pair_overlap for the scale shape."""
+    ov = _pair_overlap(docs)
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     # filter on the UNROUNDED value (oracle does the same); emit
     # floor(x*1e6)/1e6 — bit-identical across engines, no ROUND-tie skew
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        ov.filter(jac >= JACCARD_THRESHOLD)
         .withColumn("jaccard", F.floor(jac * 1e6) / 1e6)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
+# Broder's containment c(A,B) = |A n B| / |A|: the ASYMMETRIC twin of
+# resemblance/Jaccard.  A short doc quoted wholesale inside a longer
+# one scores containment ~1 while Jaccard stays far below any
+# threshold (|A u B| is dominated by the long doc) — so symmetric
+# dedup ships both copies and the training set memorizes the quote.
+CONTAIN_THRESHOLD = 0.8
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """Directed containment pairs (doc_sub, doc_super, containment):
+    doc_sub's kept-shingle set is >= CONTAIN_THRESHOLD contained in
+    doc_super's.  Both directions of each candidate pair are tested
+    (a pair where BOTH directions pass emits two rows — mutual
+    containment is exact-dup territory).
+
+    Scale shape: identical bounded pair space to jaccard_pairs (same
+    _pair_overlap core — capped postings, JVM pair explode); the
+    direction split is a pure map over the overlap rows."""
+    ov = _pair_overlap(docs)
+    c_ab = F.col("n_common") / F.col("n_a")
+    c_ba = F.col("n_common") / F.col("n_b")
+    fwd = ov.filter(c_ab >= CONTAIN_THRESHOLD).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        (F.floor(c_ab * 1e6) / 1e6).alias("containment"),
+    )
+    rev = ov.filter(c_ba >= CONTAIN_THRESHOLD).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        (F.floor(c_ba * 1e6) / 1e6).alias("containment"),
+    )
+    return fwd.unionByName(rev)
+
+
+def dedup_containment(spark, sf_dir):
+    """Driver entry: containment_pairs over the documents table."""
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
 # DuckDB lists are 1-indexed; Spark transform above is 0-indexed — both
 # enumerate the same shingles.  DF cap mirrored exactly: sizes and
 # intersections both computed over the capped shingle universe.
-SQL_JACCARD = f"""
+# Shared CTE prefix for the symmetric (Jaccard) and asymmetric
+# (containment) scorers — the SQL twin of _pair_overlap.
+_SQL_PAIR_CTES = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, u.shingle FROM toks,
@@ -171,13 +222,27 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+SQL_JACCARD = f"""{_SQL_PAIR_CTES}
 SELECT doc_a, doc_b,
        FLOOR(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) * 1e6) / 1e6 AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+SQL_CONTAINMENT = f"""{_SQL_PAIR_CTES}
+SELECT doc_a AS doc_sub, doc_b AS doc_super,
+       FLOOR(n_common * 1.0 / sa.n_sh * 1e6) / 1e6 AS containment
+FROM common JOIN sizes sa ON sa.doc_id = doc_a
+WHERE n_common * 1.0 / sa.n_sh >= {CONTAIN_THRESHOLD}
+UNION ALL
+SELECT doc_b AS doc_sub, doc_a AS doc_super,
+       FLOOR(n_common * 1.0 / sb.n_sh * 1e6) / 1e6 AS containment
+FROM common JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / sb.n_sh >= {CONTAIN_THRESHOLD}
 """
 
 
@@ -1060,6 +1125,7 @@ QUERIES = {
     "dedup_incremental_emb": dedup_incremental_emb,
     "dedup_passage": dedup_passage,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLES = {
@@ -1070,6 +1136,7 @@ ORACLES = {
     "dedup_embedding_cosine": SQL_EMB_COSINE,
     "dedup_clusters": SQL_CLUSTERS,
     "dedup_keep_best": SQL_KEEP_BEST,
+    "dedup_containment": SQL_CONTAINMENT,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based -> pinned-replay
     # oracles built in __spark_entry__ from tests/golden/sketch_invariants.json
 }

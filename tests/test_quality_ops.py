@@ -91,6 +91,34 @@ def test_keep_best_survivor_maximizes_quality(keep_best_rows):
         assert kept["doc_id"] == best["doc_id"]
 
 
+# --- dedup_containment ------------------------------------------------------
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one must score
+    containment 1.0 while its Jaccard stays below threshold — the
+    asymmetric scorer's reason to exist."""
+    from document_extraction_service_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = {(r["doc_sub"], r["doc_super"]): r["containment"]
+            for r in containment_pairs(d).collect()}
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # the long doc is NOT inside the short one
+    jac = jaccard_pairs(d).collect()
+    assert jac == []  # symmetric scorer misses it entirely
+    assert JACCARD_THRESHOLD > 0.1
+
+
 # --- curate_domain_mixture --------------------------------------------------
 
 
