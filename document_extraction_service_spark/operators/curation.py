@@ -612,6 +612,92 @@ FROM s
 """
 
 
+# --- epoch planning (data-constrained training) -----------------------------
+# When the training token budget EXCEEDS what a stratum can supply at
+# its target share, pipelines repeat that stratum for multiple epochs
+# (published data-constrained scaling practice caps useful repetition
+# around ~4 epochs, after which returns decay to ~zero).  The plan
+# below reports, per target stratum: how many epochs its pool must be
+# repeated to fill its share of the budget, the effective tokens it
+# can actually contribute under the epoch cap, and whether the cap
+# binds.  Budget is a rational multiple of the corpus so the whole
+# computation stays in exact integers until the final ratios.
+EPOCH_BUDGET_NUM, EPOCH_BUDGET_DEN = 3, 2  # budget = 1.5x corpus tokens
+MAX_EPOCHS = 4
+
+
+def curate_epoch_plan(spark, sf_dir):
+    """(lang, avail_tokens, need_tokens, epochs, eff_tokens,
+    constrained) per MIXTURE_TARGET stratum, for a training budget of
+    EPOCH_BUDGET_NUM/DEN x total corpus tokens:
+
+        need   = floor(target * budget)         (stratum's share)
+        epochs = need / avail, floored to 1e-6  (repetition factor)
+        eff    = min(need, MAX_EPOCHS * avail)  (the epoch cap binds
+        constrained = need > MAX_EPOCHS * avail  what's usable)
+
+    Scale shape: ONE map-side-combined aggregation to <= n_langs rows
+    + a broadcast one-row total — per-doc work is the token-count scan
+    already paid by every curation query; the plan itself is
+    constant-size.  Integer arithmetic except the floored epochs
+    ratio (identical double division both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)"))
+        .alias("n_tokens"),
+    )
+    total = per_doc.agg(
+        F.expr(
+            f"CAST(({EPOCH_BUDGET_NUM} * SUM(n_tokens))"
+            f" DIV {EPOCH_BUDGET_DEN} AS LONG)"
+        ).alias("budget")
+    )
+    tgt = F.lit(None).cast("double")
+    for lg, t in sorted(MIXTURE_TARGET.items()):
+        tgt = F.when(F.col("lang") == lg, F.lit(t)).otherwise(tgt)
+    avail = (
+        per_doc.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("avail_tokens"))
+        .withColumn("tgt", tgt)
+        .filter(F.col("tgt").isNotNull())
+    )
+    need = F.floor(F.col("tgt") * F.col("budget")).cast("long")
+    cap = (F.lit(MAX_EPOCHS) * F.col("avail_tokens")).cast("long")
+    return (
+        avail.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.col("avail_tokens").cast("long").alias("avail_tokens"),
+            need.alias("need_tokens"),
+            (F.floor(need / F.col("avail_tokens") * 1e6) / 1e6).alias("epochs"),
+            F.least(need, cap).alias("eff_tokens"),
+            (need > cap).alias("constrained"),
+        )
+    )
+
+
+SQL_EPOCH_PLAN = f"""
+WITH p AS (SELECT lang,
+                  len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+           FROM documents),
+b AS (SELECT CAST(({EPOCH_BUDGET_NUM} * SUM(n_tokens))
+             // {EPOCH_BUDGET_DEN} AS BIGINT) AS budget FROM p),
+a AS (SELECT lang, SUM(n_tokens) AS avail, {_TGT_CASE} AS tgt
+      FROM p GROUP BY lang HAVING {_TGT_CASE} IS NOT NULL),
+n AS (SELECT lang, avail, CAST(FLOOR(tgt * budget) AS BIGINT) AS need,
+             CAST({MAX_EPOCHS} * avail AS BIGINT) AS cap
+      FROM a, b)
+SELECT lang,
+       CAST(avail AS BIGINT) AS avail_tokens,
+       need AS need_tokens,
+       FLOOR(need * 1.0 / avail * 1e6) / 1e6 AS epochs,
+       LEAST(need, cap) AS eff_tokens,
+       need > cap AS constrained
+FROM n
+"""
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
@@ -621,6 +707,7 @@ QUERIES = {
     "curate_token_budget": curate_token_budget,
     "curate_domain_mixture": curate_domain_mixture,
     "curate_pack_sequences": curate_pack_sequences,
+    "curate_epoch_plan": curate_epoch_plan,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
@@ -631,4 +718,5 @@ ORACLES = {
     "curate_token_budget": SQL_TOKEN_BUDGET,
     "curate_domain_mixture": SQL_MIXTURE,
     "curate_pack_sequences": SQL_PACK,
+    "curate_epoch_plan": SQL_EPOCH_PLAN,
 }

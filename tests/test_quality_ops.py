@@ -91,6 +91,29 @@ def test_keep_best_survivor_maximizes_quality(keep_best_rows):
         assert kept["doc_id"] == best["doc_id"]
 
 
+# --- curate_epoch_plan ------------------------------------------------------
+
+
+def test_epoch_plan_arithmetic_consistent(spark):
+    """Every emitted row must satisfy the plan's own definition, and
+    the 1.5x budget must force at least one stratum past 1 epoch
+    (otherwise the operator demonstrates nothing)."""
+    from document_extraction_service_spark.operators.curation import (
+        MAX_EPOCHS,
+        MIXTURE_TARGET,
+    )
+
+    rows = entry.queries()["curate_epoch_plan"](spark, SF_DIR).collect()
+    assert {r["lang"] for r in rows} <= set(MIXTURE_TARGET)
+    for r in rows:
+        cap = MAX_EPOCHS * r["avail_tokens"]
+        assert r["eff_tokens"] == min(r["need_tokens"], cap)
+        assert r["constrained"] == (r["need_tokens"] > cap)
+        expect_epochs = int(r["need_tokens"] / r["avail_tokens"] * 1e6) / 1e6
+        assert abs(r["epochs"] - expect_epochs) < 2e-6
+    assert any(r["epochs"] > 1.0 for r in rows)
+
+
 # --- dedup_containment ------------------------------------------------------
 
 
