@@ -1,0 +1,97 @@
+"""WARC source connector: the crawl-native input path must produce
+byte-identical extraction output to the parquet pages path, and one
+corrupt record must never kill a file's task."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from document_extraction_service_spark import fixtures
+from document_extraction_service_spark.sources.warc import (
+    _parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+
+N_PAGES = 24
+
+
+def _fixture_records():
+    recs = []
+    for i in range(N_PAGES):
+        p = fixtures.gen_page(i)
+        recs.append({
+            "url": p["url"],
+            "ts": datetime.datetime(2024, 5, 1, 12, 0, i % 60),
+            "payload": p["html"],
+            "http": i % 2 == 0,  # half the records carry HTTP headers
+        })
+    return recs
+
+
+def test_warc_path_equals_parquet_path(spark, tmp_path):
+    """Same pages via WARC vs via the fixture DataFrame -> identical
+    extracted bytes per url (the connector adds or loses nothing)."""
+    from document_extraction_service_spark.udfs import with_extraction
+
+    warc = str(tmp_path / "crawl-00000.warc")
+    write_warc(warc, _fixture_records())
+
+    via_warc = {
+        r["url"]: (r["extracted_text"], r["ok"])
+        for r in with_extraction(read_warc(spark, warc))
+        .select(
+            "url",
+            F.col("extraction.extracted_text").alias("extracted_text"),
+            F.col("status.ok").alias("ok"),
+        )
+        .collect()
+    }
+    via_df = {
+        r["url"]: (r["extracted_text"], r["ok"])
+        for r in with_extraction(fixtures.pages_df(spark, N_PAGES))
+        .select(
+            "url",
+            F.col("extraction.extracted_text").alias("extracted_text"),
+            F.col("status.ok").alias("ok"),
+        )
+        .collect()
+    }
+    assert via_warc == via_df
+    assert len(via_warc) == N_PAGES
+
+
+def test_warc_http_headers_stripped_and_ts_parsed(spark, tmp_path):
+    warc = str(tmp_path / "one.warc")
+    html = b"<html><body><p>hello world</p></body></html>"
+    write_warc(warc, [{
+        "url": "https://x.test/a",
+        "ts": datetime.datetime(2024, 1, 2, 3, 4, 5),
+        "payload": html,
+        "http": True,
+    }])
+    rows = read_warc(spark, warc).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["html"]) == html  # HTTP block stripped exactly
+    assert rows[0]["warc_ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_warc_skips_non_response_and_malformed():
+    """request records are skipped; a record with a corrupt
+    Content-Length stops parsing WITHOUT raising (prior records
+    survive)."""
+    good = b"<p>ok</p>"
+    buf = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.test/req\r\n"
+        b"Content-Length: 3\r\n\r\nGET\r\n\r\n"
+        + b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.test/good\r\n"
+        + b"Content-Length: " + str(len(good)).encode() + b"\r\n\r\n"
+        + good + b"\r\n\r\n"
+        + b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.test/bad\r\n"
+        b"Content-Length: NOT_A_NUMBER\r\n\r\nxxxx\r\n\r\n"
+    )
+    got = list(_parse_warc_bytes(buf))
+    assert [(u, h) for u, _, h in got] == [("https://x.test/good", good)]
