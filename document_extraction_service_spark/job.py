@@ -87,6 +87,14 @@ def input_fingerprint(spec: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
     h = hashlib.md5(f"{spec}|B={n_buckets}".encode())
     if spec.startswith("synthetic:"):
         return h.hexdigest()
+    if spec.startswith("warc:"):
+        # fingerprint the files the glob resolves to (sorted -> stable)
+        import glob as _glob
+
+        for p in sorted(_glob.glob(spec.split(":", 1)[1])):
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+        return h.hexdigest()
     if os.path.isdir(spec):
         for root, dirs, files in os.walk(spec):
             dirs.sort()
@@ -113,13 +121,18 @@ def is_bucketed_input(spec: str) -> bool:
 
 
 def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) -> DataFrame:
-    """`synthetic:N` -> distributed fixture generation; else parquet
-    path (swap point for `spark.read.format("iceberg")`)."""
+    """`synthetic:N` -> distributed fixture generation; `warc:<glob>`
+    -> crawl-native WARC files (sources/warc.py, one task per file);
+    else parquet path (swap point for `spark.read.format("iceberg")`)."""
     if spec.startswith("synthetic:"):
         from .fixtures import pages_df
 
         n = int(spec.split(":", 1)[1])
         return pages_df(spark, n, partitions=partitions)
+    if spec.startswith("warc:"):
+        from .sources.warc import read_warc
+
+        return read_warc(spark, spec.split(":", 1)[1])
     if is_bucketed_input(spec):
         return spark.read.schema(bucketed_pages_schema()).parquet(spec)
     return spark.read.schema(PAGES_SCHEMA).parquet(spec)

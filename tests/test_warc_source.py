@@ -76,6 +76,24 @@ def test_warc_http_headers_stripped_and_ts_parsed(spark, tmp_path):
     assert rows[0]["warc_ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5)
 
 
+def test_job_runs_end_to_end_from_warc_input(spark, tmp_path):
+    """The flagship job accepts `warc:<glob>` directly: full run
+    extracts every record, and a --resume rerun skips every bucket
+    (the fingerprint sees the WARC files)."""
+    from document_extraction_service_spark.job import run_job
+
+    recs = _fixture_records()
+    write_warc(str(tmp_path / "crawl-00000.warc"), recs[: N_PAGES // 2])
+    write_warc(str(tmp_path / "crawl-00001.warc"), recs[N_PAGES // 2:])
+    spec = f"warc:{tmp_path}/crawl-*.warc"
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+
+    m1 = run_job(spark, spec, out, lin, run_id="w1", n_buckets=8)
+    assert m1["n_rows"] == N_PAGES and m1["n_ok"] == N_PAGES
+    m2 = run_job(spark, spec, out, lin, run_id="w1", n_buckets=8, resume=True)
+    assert m2["n_rows"] == 0 and len(m2["skipped_buckets"]) > 0
+
+
 def test_warc_skips_non_response_and_malformed():
     """request records are skipped; a record with a corrupt
     Content-Length stops parsing WITHOUT raising (prior records
