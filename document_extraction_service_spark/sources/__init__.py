@@ -1,4 +1,4 @@
 """Source connectors beyond parquet: WARC (the Common Crawl container
 format) — see warc.py."""
 
-from .warc import read_warc, write_warc  # noqa: F401
+from .warc import read_warc, read_wet, write_warc, write_wet  # noqa: F401

@@ -32,6 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schema import PAGES_SCHEMA
 
@@ -67,11 +68,19 @@ def write_warc(path: str, records: list[dict]) -> None:
             f.write(_CRLF.join(headers) + _SEP + payload + _SEP)
 
 
-def _parse_warc_bytes(content: bytes) -> Iterator[tuple[str, object, bytes]]:
-    """Yield (url, warc_ts|None, html_bytes) for every well-formed
-    `response` record; skip everything malformed."""
+def _parse_warc_bytes(
+    content: bytes, want_type: bytes = b"response"
+) -> Iterator[tuple[str, object, bytes]]:
+    """Yield (url, warc_ts|None, payload_bytes) for every well-formed
+    record of `want_type`; skip everything malformed.  Inter-record
+    CR/LF padding is tolerated (real WARCs use exactly CRLF CRLF; the
+    WET sink's text-writer output inserts an extra LF per record)."""
     pos, n = 0, len(content)
     while pos < n:
+        while pos < n and content[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            return
         head_end = content.find(_SEP, pos)
         if head_end < 0:
             return
@@ -91,8 +100,8 @@ def _parse_warc_bytes(content: bytes) -> Iterator[tuple[str, object, bytes]]:
         body_end = body_start + length
         if body_end > n:
             return  # truncated final record
-        pos = body_end + len(_SEP)  # past the record separator
-        if hdr.get(b"warc-type") != b"response":
+        pos = body_end  # separator consumed by the whitespace skip above
+        if hdr.get(b"warc-type") != want_type:
             continue
         url = hdr.get(b"warc-target-uri")
         if not url:
@@ -111,6 +120,59 @@ def _parse_warc_bytes(content: bytes) -> Iterator[tuple[str, object, bytes]]:
             except ValueError:
                 ts = None
         yield url.decode("utf-8", "replace"), ts, payload
+
+
+def write_wet(df: DataFrame, path: str) -> None:
+    """WET sink — Common Crawl's extracted-text distribution format
+    (WARC `conversion` records, one per page).  Input: a DataFrame
+    with url, extracted_text and bucket columns (the extraction
+    output's natural projection); output: bucket-partitioned text
+    files of WET records.
+
+    The record is assembled as ONE codegen'd string concat (JVM-side,
+    no Python), so the sink costs what the write costs; Content-Length
+    is `octet_length` (UTF-8 BYTES — `length` counts chars and would
+    mis-frame any non-ASCII page).  Record framing survives the text
+    writer's per-row LF because the parser skips inter-record CR/LF
+    padding."""
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length("extracted_text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("extracted_text"),
+        F.lit("\r\n"),
+    )
+    (
+        df.select(rec.alias("value"), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .text(path)
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET source: conversion records -> (url, warc_ts, text) — the
+    entry point for re-curating an already-extracted text corpus
+    (every dedup/quality operator in this engine runs on exactly this
+    shape).  Same one-task-per-file scale unit as read_warc."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                (url, ts, payload.decode("utf-8", "replace"))
+                for content in b["content"]
+                for url, ts, payload in _parse_warc_bytes(
+                    bytes(content), want_type=b"conversion"
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    return files.mapInPandas(
+        parse, "url string, warc_ts timestamp, text string"
+    )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

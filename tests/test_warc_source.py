@@ -94,6 +94,45 @@ def test_job_runs_end_to_end_from_warc_input(spark, tmp_path):
     assert m2["n_rows"] == 0 and len(m2["skipped_buckets"]) > 0
 
 
+def test_wet_roundtrip_through_full_crawl_pipeline(spark, tmp_path):
+    """The complete crawl shape: WARC in -> extraction -> WET out ->
+    WET read back; every page's extracted text survives byte-exactly
+    (incl. a non-ASCII page exercising octet_length framing)."""
+    from document_extraction_service_spark.sources.warc import (
+        read_wet,
+        write_wet,
+    )
+    from document_extraction_service_spark.udfs import with_extraction
+
+    warc = str(tmp_path / "crawl-00000.warc")
+    recs = _fixture_records()
+    recs.append({
+        "url": "https://x.test/unicode",
+        "ts": datetime.datetime(2024, 5, 1),
+        "payload": (
+            "<html><head><title>U</title></head><body><h1>U</h1>"
+            "<h2>1. Einführung</h2><p>héllo wörld — ünïcode "
+            + "wörter und zeichen über die grenzen " * 10
+            + ".</p></body></html>"
+        ).encode("utf-8"),
+    })
+    write_warc(warc, recs)
+    out = with_extraction(read_warc(spark, warc)).select(
+        "url",
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    expect = {r["url"]: r["extracted_text"] for r in out.collect()}
+    wet_dir = str(tmp_path / "wet")
+    write_wet(out, wet_dir)
+    got = {
+        r["url"]: r["text"]
+        for r in read_wet(spark, wet_dir + "/bucket=*/*.txt").collect()
+    }
+    assert got == expect
+    assert "héllo wörld — ünïcode" in got["https://x.test/unicode"]
+
+
 def test_warc_skips_non_response_and_malformed():
     """request records are skipped; a record with a corrupt
     Content-Length stops parsing WITHOUT raising (prior records
