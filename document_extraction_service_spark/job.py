@@ -161,6 +161,7 @@ def run_job(
     resume: bool = False,
     only_buckets: list[int] | None = None,
     n_partitions: int | None = None,
+    wet_path: str | None = None,
 ) -> dict:
     """Returns job metrics dict. Idempotent per (input, bucket)."""
     t0 = time.time()
@@ -239,6 +240,22 @@ def run_job(
         out = out.filter(~F.col("bucket").isin(sorted(skip)))
     if only_buckets is not None:
         out = out.filter(F.col("bucket").isin([int(b) for b in only_buckets]))
+    if wet_path:
+        # optional WET twin of the parquet sink: ok pages only, from the
+        # COMMITTED output (column-pruned scan — url/bucket/text), so the
+        # WET files mirror exactly what the parquet sink committed;
+        # bucket-dynamic overwrite keeps resume semantics (sources/warc.py)
+        from .sources.warc import write_wet
+
+        write_wet(
+            out.filter(F.col("status.ok")).select(
+                "url",
+                F.col("extraction.extracted_text").alias("extracted_text"),
+                "bucket",
+            ),
+            wet_path,
+        )
+
     lineage = (
         out.groupBy("bucket")
         .agg(
@@ -293,6 +310,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--n-buckets", type=int, default=DEFAULT_BUCKETS)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--wet", default=None,
+                    help="also write ok pages as WET conversion records here")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -308,6 +327,7 @@ def main(argv: list[str] | None = None) -> None:
             args.run_id,
             n_buckets=args.n_buckets,
             resume=args.resume,
+            wet_path=args.wet,
         )
         print(metrics)
     finally:

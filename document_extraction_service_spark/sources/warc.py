@@ -147,6 +147,10 @@ def write_wet(df: DataFrame, path: str) -> None:
     (
         df.select(rec.alias("value"), "bucket")
         .write.mode("overwrite")
+        # per-write dynamic overwrite (CLAUDE.md gotcha #5): a resumed
+        # job writes only its remaining buckets — static overwrite
+        # would delete every previously-committed WET bucket first
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .text(path)
     )

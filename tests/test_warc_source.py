@@ -88,10 +88,19 @@ def test_job_runs_end_to_end_from_warc_input(spark, tmp_path):
     spec = f"warc:{tmp_path}/crawl-*.warc"
     out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
 
-    m1 = run_job(spark, spec, out, lin, run_id="w1", n_buckets=8)
+    from document_extraction_service_spark.sources.warc import read_wet
+
+    wet = str(tmp_path / "wet")
+    m1 = run_job(spark, spec, out, lin, run_id="w1", n_buckets=8,
+                 wet_path=wet)
     assert m1["n_rows"] == N_PAGES and m1["n_ok"] == N_PAGES
-    m2 = run_job(spark, spec, out, lin, run_id="w1", n_buckets=8, resume=True)
+    assert read_wet(spark, wet + "/bucket=*/*.txt").count() == N_PAGES
+    m2 = run_job(spark, spec, out, lin, run_id="w1", n_buckets=8,
+                 resume=True, wet_path=wet)
     assert m2["n_rows"] == 0 and len(m2["skipped_buckets"]) > 0
+    # dynamic partition overwrite: the resumed (empty) run must NOT
+    # have clobbered the previously committed WET buckets
+    assert read_wet(spark, wet + "/bucket=*/*.txt").count() == N_PAGES
 
 
 def test_wet_roundtrip_through_full_crawl_pipeline(spark, tmp_path):
