@@ -142,6 +142,40 @@ def test_wet_roundtrip_through_full_crawl_pipeline(spark, tmp_path):
     assert "héllo wörld — ünïcode" in got["https://x.test/unicode"]
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _payload = st.binary(min_size=0, max_size=200)
+    _url = st.text(
+        alphabet=st.characters(
+            min_codepoint=33, max_codepoint=126, exclude_characters=":"
+        ),
+        min_size=1, max_size=30,
+    ).map(lambda s: "https://h.test/" + s)
+
+    @given(st.lists(st.tuples(_url, _payload), min_size=0, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_warc_roundtrip_arbitrary_payloads(recs):
+        """Writer -> parser must recover every record exactly — in
+        particular payloads CONTAINING the record separator bytes
+        (Content-Length framing, not delimiter scanning, is what makes
+        that safe)."""
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "t.warc")
+            write_warc(p, [
+                {"url": u, "ts": None, "payload": b} for u, b in recs
+            ])
+            with open(p, "rb") as f:
+                got = list(_parse_warc_bytes(f.read()))
+        assert [(u, h) for u, _, h in got] == recs
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_warc_skips_non_response_and_malformed():
     """request records are skipped; a record with a corrupt
     Content-Length stops parsing WITHOUT raising (prior records
