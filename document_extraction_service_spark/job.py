@@ -87,7 +87,7 @@ def input_fingerprint(spec: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
     h = hashlib.md5(f"{spec}|B={n_buckets}".encode())
     if spec.startswith("synthetic:"):
         return h.hexdigest()
-    if spec.startswith("warc:"):
+    if spec.startswith(("warc:", "jsonl:")):
         # fingerprint the files the glob resolves to (sorted -> stable)
         import glob as _glob
 
@@ -133,6 +133,10 @@ def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) ->
         from .sources.warc import read_warc
 
         return read_warc(spark, spec.split(":", 1)[1])
+    if spec.startswith("jsonl:"):
+        from .sources.jsonl import read_jsonl_pages
+
+        return read_jsonl_pages(spark, spec.split(":", 1)[1])
     if is_bucketed_input(spec):
         return spark.read.schema(bucketed_pages_schema()).parquet(spec)
     return spark.read.schema(PAGES_SCHEMA).parquet(spec)

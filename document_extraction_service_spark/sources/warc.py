@@ -40,11 +40,14 @@ _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
 
 
-def write_warc(path: str, records: list[dict]) -> None:
+def write_warc(path: str, records: list[dict], gzip_members: bool = False) -> None:
     """Minimal WARC/1.0 writer (the test/fixture twin of read_warc).
     Each record: {"url", "ts" (datetime|None), "payload" (bytes),
     "warc_type" ("response" default), "http" (bool: wrap payload in a
-    stock HTTP/1.1 200 header block)}."""
+    stock HTTP/1.1 200 header block)}.  gzip_members=True writes each
+    record as its own gzip member — the Common Crawl .warc.gz layout."""
+    import gzip
+
     with open(path, "wb") as f:
         for r in records:
             payload = r["payload"]
@@ -65,7 +68,8 @@ def write_warc(path: str, records: list[dict]) -> None:
                     b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
                 )
             headers.append(b"Content-Length: " + str(len(payload)).encode())
-            f.write(_CRLF.join(headers) + _SEP + payload + _SEP)
+            rec = _CRLF.join(headers) + _SEP + payload + _SEP
+            f.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
 
 
 def _parse_warc_bytes(
@@ -179,10 +183,28 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _maybe_gunzip(content: bytes) -> bytes:
+    """Transparent .warc.gz support: Common Crawl ships WARCs as
+    CONCATENATED per-record gzip members (so a reader can seek to a
+    record offset and inflate one member); Python's gzip.decompress
+    inflates all members of a concatenated stream, which covers both
+    member-per-record and whole-file compression.  Corrupt gzip ->
+    empty (skip the file, don't kill the task)."""
+    if content[:2] != b"\x1f\x8b":
+        return content
+    import gzip
+
+    try:
+        return gzip.decompress(content)
+    except OSError:
+        return b""
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC file glob -> PAGES_SCHEMA DataFrame (text/lang NULL — a
-    crawl source has no pre-extracted text).  One task per file; see
-    the module docstring for why that is the right unit at 100 TB."""
+    """WARC file glob (plain or .warc.gz) -> PAGES_SCHEMA DataFrame
+    (text/lang NULL — a crawl source has no pre-extracted text).  One
+    task per file; see the module docstring for why that is the right
+    unit at 100 TB."""
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,7 +212,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             rows = [
                 (url, ts, html, None, None)
                 for content in b["content"]
-                for url, ts, html in _parse_warc_bytes(bytes(content))
+                for url, ts, html in _parse_warc_bytes(
+                    _maybe_gunzip(bytes(content))
+                )
             ]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]

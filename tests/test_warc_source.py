@@ -103,6 +103,19 @@ def test_job_runs_end_to_end_from_warc_input(spark, tmp_path):
     assert read_wet(spark, wet + "/bucket=*/*.txt").count() == N_PAGES
 
 
+def test_warc_gz_member_per_record_equals_plain(spark, tmp_path):
+    """Common Crawl layout: each record its own gzip member in a
+    .warc.gz — must parse identically to the plain file."""
+    recs = _fixture_records()
+    plain = str(tmp_path / "a.warc")
+    gz = str(tmp_path / "a.warc.gz")
+    write_warc(plain, recs)
+    write_warc(gz, recs, gzip_members=True)
+    a = {r["url"]: bytes(r["html"]) for r in read_warc(spark, plain).collect()}
+    b = {r["url"]: bytes(r["html"]) for r in read_warc(spark, gz).collect()}
+    assert a == b and len(a) == N_PAGES
+
+
 def test_wet_roundtrip_through_full_crawl_pipeline(spark, tmp_path):
     """The complete crawl shape: WARC in -> extraction -> WET out ->
     WET read back; every page's extracted text survives byte-exactly
