@@ -1111,6 +1111,75 @@ FROM c JOIN q ON c.doc_id = q.doc_id
 """
 
 
+def dedup_cluster_stats(spark, sf_dir):
+    """Corpus-card duplication report: near-dup cluster-size histogram
+    (pair size-band, n_clusters, n_docs, pct_of_corpus) — the "X% of
+    the corpus was near-duplicate" table every dataset card publishes
+    (C4, RefinedWeb, FineWeb all report one).  Bands: 2, 3-10, >10,
+    plus a `unique` row for docs in no cluster.
+
+    Scale shape: CC output (doc_id,cluster_id,size longs) -> one tiny
+    banded aggregation with map-side combine (4 possible keys); corpus
+    size comes from a broadcast one-row count, so the percentage is
+    driver-free.  Deterministic: integer counts, pct floored 1e-6."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = connected_components(
+        jaccard_pairs(d).select("doc_a", "doc_b")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    band = (
+        F.when(F.col("cluster_size") == 2, F.lit("pair"))
+        .when(F.col("cluster_size") <= 10, F.lit("small_3_10"))
+        .otherwise(F.lit("large_gt_10"))
+    )
+    clustered = clusters.select(band.alias("band"), "cluster_id")
+    per_band = clustered.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    n_dup = clusters.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    uniq = (
+        total.crossJoin(F.broadcast(n_dup))
+        .select(
+            F.lit("unique").alias("band"),
+            (F.col("n_total") - F.col("n")).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_clusters"),
+        )
+    )
+    return (
+        per_band.unionByName(uniq)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band", "n_clusters", "n_docs",
+            (F.floor(F.col("n_docs") * 1.0 / F.col("n_total") * 1e6) / 1e6)
+            .alias("pct_of_corpus"),
+        )
+    )
+
+
+SQL_CLUSTER_STATS = f"""
+WITH c AS ({SQL_CLUSTERS}),
+t AS (SELECT COUNT(*) AS n_total FROM documents),
+b AS (SELECT CASE WHEN cluster_size = 2 THEN 'pair'
+                  WHEN cluster_size <= 10 THEN 'small_3_10'
+                  ELSE 'large_gt_10' END AS band, cluster_id
+      FROM c),
+pb AS (SELECT band, COUNT(*) AS n_docs,
+              COUNT(DISTINCT cluster_id) AS n_clusters
+       FROM b GROUP BY band),
+u AS (SELECT 'unique' AS band,
+             t.n_total - (SELECT COUNT(*) FROM c) AS n_docs,
+             0 AS n_clusters
+      FROM t),
+allb AS (SELECT band, n_clusters, n_docs FROM pb
+         UNION ALL SELECT band, n_clusters, n_docs FROM u)
+SELECT band, CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       FLOOR(n_docs * 1.0 / t.n_total * 1e6) / 1e6 AS pct_of_corpus
+FROM allb, t
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1126,6 +1195,7 @@ QUERIES = {
     "dedup_passage": dedup_passage,
     "dedup_keep_best": dedup_keep_best,
     "dedup_containment": dedup_containment,
+    "dedup_cluster_stats": dedup_cluster_stats,
 }
 
 ORACLES = {
@@ -1137,6 +1207,7 @@ ORACLES = {
     "dedup_clusters": SQL_CLUSTERS,
     "dedup_keep_best": SQL_KEEP_BEST,
     "dedup_containment": SQL_CONTAINMENT,
+    "dedup_cluster_stats": SQL_CLUSTER_STATS,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based -> pinned-replay
     # oracles built in __spark_entry__ from tests/golden/sketch_invariants.json
 }
