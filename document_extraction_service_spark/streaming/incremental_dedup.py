@@ -12,10 +12,13 @@ broadcast-the-batch joins, so nothing about the scale contract changes:
 old rows are never re-sketched or re-shuffled, and shuffle volume per
 micro-batch is proportional to that batch.
 
-Exactly-once: file source + foreachBatch writing with batch-id-derived
-idempotence (parquet append of (batch_id, doc_id, novel, dup_of) —
-replayed micro-batches rewrite identical rows because the operator is
-deterministic), checkpointed.
+Exactly-once: file source + foreachBatch writing (batch_id, doc_id,
+novel, dup_of) PARTITIONED BY batch_id with per-write dynamic
+partition overwrite — a micro-batch replayed after a failure between
+the sink write and the checkpoint commit OVERWRITES its own
+batch_id=N partition instead of appending a duplicate copy (the same
+bucket-idempotence pattern job.py's sink uses), and the operator
+itself is deterministic, so the rewritten partition is byte-identical.
 
 At 10^12-row scale the index would be an Iceberg table bucketed on
 (band, bucket) maintained by a nightly compaction that folds the day's
@@ -39,6 +42,36 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
+def process_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index: DataFrame,
+    existing: DataFrame,
+    output_dir: str,
+) -> None:
+    """One micro-batch through the batch dedup operator, written
+    replay-idempotently: the output is partitioned by batch_id and
+    written with per-write dynamic partition overwrite (CLAUDE.md
+    gotcha #5), so a replayed micro-batch rewrites ONLY its own
+    batch_id=N partition — append would duplicate it, static
+    overwrite would delete every other batch's committed output.
+    Module-level (not a closure) so the replay test can call it twice
+    with the same batch_id and assert the row count is unchanged."""
+    from ..operators.dedup import incremental_near_dedup
+
+    if batch_df.isEmpty():
+        return
+    (
+        incremental_near_dedup(batch_df, index, existing)
+        .withColumn("batch_id", F.lit(batch_id))
+        .select("doc_id", "novel", "dup_of", "batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -52,10 +85,9 @@ def stream_incremental_dedup(
     """Start a stream deduplicating incoming doc files against the
     persisted band index at `index_path` (built by
     dedup.minhash_band_index over the corpus at `existing_path`).
-    Output rows: (batch_id, doc_id, novel, dup_of) appended to
-    `output_dir`."""
-    from ..operators.dedup import incremental_near_dedup
-
+    Output rows: (batch_id, doc_id, novel, dup_of) written to
+    `output_dir` partitioned by batch_id (replay-idempotent: see
+    module docstring)."""
     index = spark.read.parquet(index_path)
     existing = spark.read.parquet(existing_path)
 
@@ -66,15 +98,7 @@ def stream_incremental_dedup(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        (
-            incremental_near_dedup(batch_df, index, existing)
-            .withColumn("batch_id", F.lit(batch_id))
-            .select("batch_id", "doc_id", "novel", "dup_of")
-            .write.mode("append")
-            .parquet(output_dir)
-        )
+        process_dedup_batch(batch_df, batch_id, index, existing, output_dir)
 
     writer = (
         src.writeStream.foreachBatch(process)

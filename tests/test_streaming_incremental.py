@@ -8,6 +8,7 @@ from document_extraction_service_spark.operators.dedup import (
     minhash_band_index,
 )
 from document_extraction_service_spark.streaming.incremental_dedup import (
+    process_dedup_batch,
     stream_incremental_dedup,
 )
 
@@ -52,3 +53,32 @@ def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
     assert got == expected
     # the stream really ran as multiple micro-batches
     assert len({r["batch_id"] for r in rows}) >= 2
+
+
+def test_replayed_micro_batch_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a failure between sink write and
+    checkpoint commit must OVERWRITE its own batch_id partition, not
+    append a duplicate copy — and must not touch other batches."""
+    docs = spark.read.parquet(SF_DOCS)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = minhash_band_index(existing)
+    out = str(tmp_path / "out")
+
+    b0 = batch.filter(F.col("doc_id") % 20 == 0)
+    b1 = batch.filter(F.col("doc_id") % 20 != 0)
+    process_dedup_batch(b0, 0, index, existing, out)
+    process_dedup_batch(b1, 1, index, existing, out)
+    before = sorted(
+        (r["batch_id"], r["doc_id"], r["novel"], r["dup_of"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert {b for b, *_ in before} == {0, 1}
+
+    # crash-replay of batch 1: same rows, same batch_id
+    process_dedup_batch(b1, 1, index, existing, out)
+    after = sorted(
+        (r["batch_id"], r["doc_id"], r["novel"], r["dup_of"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before  # no duplicates, batch 0 untouched

@@ -189,6 +189,58 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
 
+def test_warc_chunked_emission(tmp_path):
+    """The streaming reader must emit BOUNDED frames, not one frame
+    per file: 5 records at chunk_records=2 -> 3 frames of 2/2/1 rows
+    (peak task memory is one chunk, never the file)."""
+    from document_extraction_service_spark.sources.warc import (
+        _iter_file_chunks,
+    )
+
+    p = str(tmp_path / "c.warc")
+    write_warc(p, _fixture_records()[:5])
+    chunks = list(
+        _iter_file_chunks(
+            p, b"response", lambda r: r, ["url", "ts", "html"], 2
+        )
+    )
+    assert [len(c) for c in chunks] == [2, 2, 1]
+
+
+def test_warc_listing_scan_prunes_content(spark, tmp_path):
+    """The binaryFile scan must read ONLY the path column — content
+    never crosses JVM->Arrow, and binaryFile's 2 GB/file cap (which
+    lives behind the content column) never applies."""
+    p = str(tmp_path / "p.warc")
+    write_warc(p, _fixture_records()[:2])
+    plan = (
+        read_warc(spark, p)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<path:string>" in plan
+    assert "content" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_warc_gz_truncated_keeps_parsed_prefix(spark, tmp_path):
+    """A truncated .warc.gz (gzip raises EOFError mid-stream) must
+    not kill the task: records inflated before the damage survive."""
+    full = str(tmp_path / "full.warc.gz")
+    write_warc(full, _fixture_records()[:4], gzip_members=True)
+    import os
+
+    raw = open(full, "rb").read()
+    trunc = str(tmp_path / "trunc.warc.gz")
+    with open(trunc, "wb") as f:
+        # cut into the last member's DEFLATE data (not just the 8-byte
+        # trailer), so inflation genuinely truncates mid-record
+        f.write(raw[: len(raw) - 20])
+    got = read_warc(spark, trunc).collect()
+    assert 1 <= len(got) <= 3  # prefix records survive, task alive
+    assert os.path.exists(trunc)
+
+
 def test_warc_skips_non_response_and_malformed():
     """request records are skipped; a record with a corrupt
     Content-Length stops parsing WITHOUT raising (prior records
