@@ -87,7 +87,7 @@ def input_fingerprint(spec: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
     h = hashlib.md5(f"{spec}|B={n_buckets}".encode())
     if spec.startswith("synthetic:"):
         return h.hexdigest()
-    if spec.startswith(("warc:", "jsonl:")):
+    if spec.startswith(("warc:", "jsonl:", "wet:")):
         # fingerprint the files the glob resolves to (sorted -> stable)
         import glob as _glob
 
@@ -137,6 +137,20 @@ def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) ->
         from .sources.jsonl import read_jsonl_pages
 
         return read_jsonl_pages(spark, spec.split(":", 1)[1])
+    if spec.startswith("wet:"):
+        # WET carries extracted text only (no html): rows enter the job
+        # as null-html pages and ride the text-fallback extraction path
+        # (status.fallback=true), re-entering curation downstream — the
+        # re-curate-an-existing-corpus loop, now a first-class input.
+        from .sources.warc import read_wet
+
+        return read_wet(spark, spec.split(":", 1)[1]).select(
+            "url",
+            "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+        )
     if is_bucketed_input(spec):
         return spark.read.schema(bucketed_pages_schema()).parquet(spec)
     return spark.read.schema(PAGES_SCHEMA).parquet(spec)

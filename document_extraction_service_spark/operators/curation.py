@@ -589,8 +589,14 @@ def curate_pack_sequences(spark, sf_dir):
     ).select(
         "doc_id", "shard", "n_tokens", "start_tok",
         F.expr(f"CAST(start_tok DIV {PACK_SEQ_TOKENS} AS LONG)").alias("seq_first"),
+        # greatest(...) guards the n_tokens=0 doc: start_tok - 1 can be
+        # negative, and Spark's DIV truncates toward zero while DuckDB's
+        # // floors — -1 DIV 2048 = 0 vs -1 // 2048 = -1, a cross-engine
+        # mismatch (and seq_last < seq_first).  A zero-token doc spans
+        # exactly its own starting sequence (ADVICE r5).
         F.expr(
-            f"CAST((start_tok + n_tokens - 1) DIV {PACK_SEQ_TOKENS} AS LONG)"
+            f"CAST(greatest(start_tok + n_tokens - 1, start_tok)"
+            f" DIV {PACK_SEQ_TOKENS} AS LONG)"
         ).alias("seq_last"),
     )
 
@@ -607,7 +613,7 @@ s AS (SELECT doc_id, shard, n_tokens,
 SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(start_tok AS BIGINT) AS start_tok,
        CAST(start_tok // {PACK_SEQ_TOKENS} AS BIGINT) AS seq_first,
-       CAST((start_tok + n_tokens - 1) // {PACK_SEQ_TOKENS} AS BIGINT) AS seq_last
+       CAST(greatest(start_tok + n_tokens - 1, start_tok) // {PACK_SEQ_TOKENS} AS BIGINT) AS seq_last
 FROM s
 """
 

@@ -745,6 +745,27 @@ WHERE f.doc_id % {INCR_NEW_MOD} = 0
 
 # --- incremental NEAR-dup dedup (batch vs persisted LSH band index) ---------
 
+# Broadcast guard for the incremental family: the probe plans broadcast
+# the BATCH side by contract (one day's crawl vs the whole corpus), but
+# a contract is not a safety net — a backfill replaying a month of
+# crawls as one "batch" would OOM the driver.  Above this row count the
+# same joins run WITHOUT broadcast hints (Spark plans shuffle joins with
+# identical semantics): the index/corpus sides then shuffle once, which
+# is slow-but-correct degradation instead of a crash.  5M rows of
+# (id + sketch state) ≈ low-GB broadcast — the practical ceiling.
+INCR_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _batch_probe_hint(batch: DataFrame, broadcast_batch: bool | None):
+    """Resolve the broadcast decision for an incremental probe: returns
+    the hint applied to every batch-derived side.  None = decide from
+    an explicit row count of the batch (one cheap scan of the SMALL
+    side, never the corpus); callers with prior knowledge pass
+    True/False to skip the count."""
+    if broadcast_batch is None:
+        broadcast_batch = batch.count() <= INCR_BROADCAST_MAX_ROWS
+    return F.broadcast if broadcast_batch else (lambda df: df)
+
 
 def minhash_band_index(existing: DataFrame) -> DataFrame:
     """The PERSISTED corpus LSH index: (band, bucket) -> bounded postings
@@ -765,7 +786,8 @@ def minhash_band_index(existing: DataFrame) -> DataFrame:
 
 
 def incremental_near_dedup(
-    batch: DataFrame, index: DataFrame, existing: DataFrame
+    batch: DataFrame, index: DataFrame, existing: DataFrame,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Near-dup dedup of a NEW crawl batch against the EXISTING corpus
     via its persisted MinHash band index — the sketch twin of
@@ -788,33 +810,38 @@ def incremental_near_dedup(
     Output: one row per batch doc — (doc_id, novel, dup_of) where
     dup_of is the smallest existing doc verified Jaccard-similar
     (NULL/novel=true when nothing verifies).  Oracle: pinned
-    pure-Python XXH64 replay (scripts/replay_sketches.py)."""
+    pure-Python XXH64 replay (scripts/replay_sketches.py).
+
+    broadcast_batch: None (default) row-counts the batch against
+    INCR_BROADCAST_MAX_ROWS; an oversized batch degrades to shuffle
+    joins with identical output instead of OOMing the driver."""
+    h = _batch_probe_hint(batch, broadcast_batch)
     bands = _minhash_bands(batch).select(
         F.col("doc_id").alias("new_id"), "band", "bucket"
     )
     cand = (
-        index.join(F.broadcast(bands), ["band", "bucket"])
+        index.join(h(bands), ["band", "bucket"])
         .select("new_id", F.explode("docs").alias("old_id"))
         .distinct()
     )
     new_sh = batch.select(
         F.col("doc_id").alias("new_id"), _shingle_array().alias("sh_new")
     )
-    cand_n = cand.join(F.broadcast(new_sh), "new_id")
+    cand_n = cand.join(h(new_sh), "new_id")
     old_sh = existing.select(
         F.col("doc_id").alias("old_id"), _shingle_array().alias("sh_old")
     )
     inter = F.size(F.array_intersect("sh_new", "sh_old"))
     jac = inter / (F.size("sh_new") + F.size("sh_old") - inter)
     hits = (
-        old_sh.join(F.broadcast(cand_n), "old_id")
+        old_sh.join(h(cand_n), "old_id")
         .filter(jac >= JACCARD_THRESHOLD)
         .groupBy("new_id")
         .agg(F.min("old_id").alias("dup_of"))
     )
     return (
         batch.select(F.col("doc_id"))
-        .join(F.broadcast(hits), F.col("doc_id") == F.col("new_id"), "left")
+        .join(h(hits), F.col("doc_id") == F.col("new_id"), "left")
         .select(
             "doc_id",
             F.col("dup_of").isNull().alias("novel"),
@@ -855,7 +882,8 @@ def embedding_band_index(existing: DataFrame, tables: int,
 
 def incremental_emb_dedup(batch: DataFrame, index: DataFrame,
                           existing: DataFrame, tables: int,
-                          planes: int) -> DataFrame:
+                          planes: int,
+                          broadcast_batch: bool | None = None) -> DataFrame:
     """Embedding near-dup dedup of a NEW vector batch against the
     EXISTING corpus via its persisted sign-LSH bucket index — the
     embedding member of the incremental family (exact:
@@ -866,9 +894,12 @@ def incremental_emb_dedup(batch: DataFrame, index: DataFrame,
     re-shuffled.  Output mirrors the family: (vec_id, novel, dup_of),
     dup_of = smallest existing vec_id with cosine >=
     EMB_COS_THRESHOLD.  Oracle: pinned pure-Python replay (numpy
-    signatures + left-fold cosine, scripts/replay_sketches.py)."""
+    signatures + left-fold cosine, scripts/replay_sketches.py).
+    broadcast_batch: same oversized-batch degradation contract as
+    incremental_near_dedup."""
     from .similarity import _signatures_udf
 
+    h = _batch_probe_hint(batch, broadcast_batch)
     sig = _signatures_udf(tables=tables, planes=planes)
     bands = (
         batch.select(
@@ -877,24 +908,24 @@ def incremental_emb_dedup(batch: DataFrame, index: DataFrame,
         .select("new_id", F.posexplode("bs").alias("tbl", "bucket"))
     )
     cand = (
-        index.join(F.broadcast(bands), ["tbl", "bucket"])
+        index.join(h(bands), ["tbl", "bucket"])
         .select("new_id", F.explode("vs").alias("old_id"))
         .distinct()
     )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     newv = batch.select(F.col("vec_id").alias("new_id"), dv.alias("v_new"))
-    cand_n = cand.join(F.broadcast(newv), "new_id")
+    cand_n = cand.join(h(newv), "new_id")
     oldv = existing.select(F.col("vec_id").alias("old_id"), dv.alias("v_old"))
     cos = _pair_cos(F.col("v_new"), F.col("v_old"))
     hits = (
-        oldv.join(F.broadcast(cand_n), "old_id")
+        oldv.join(h(cand_n), "old_id")
         .filter(cos >= EMB_COS_THRESHOLD)
         .groupBy("new_id")
         .agg(F.min("old_id").alias("dup_of"))
     )
     return (
         batch.select(F.col("vec_id"))
-        .join(F.broadcast(hits), F.col("vec_id") == F.col("new_id"), "left")
+        .join(h(hits), F.col("vec_id") == F.col("new_id"), "left")
         .select(
             "vec_id",
             F.col("dup_of").isNull().alias("novel"),

@@ -201,8 +201,36 @@ def test_pack_sequences_contiguous_per_shard(spark):
         for m in members:
             assert m["start_tok"] == pos
             assert m["seq_first"] == pos // PACK_SEQ_TOKENS
-            assert m["seq_last"] == (pos + m["n_tokens"] - 1) // PACK_SEQ_TOKENS
+            assert m["seq_last"] == max(
+                pos + m["n_tokens"] - 1, pos
+            ) // PACK_SEQ_TOKENS
             pos += m["n_tokens"]
+
+
+def test_pack_sequences_zero_token_doc(spark, tmp_path):
+    """A zero-token doc must span exactly its own starting sequence
+    (seq_first == seq_last), never seq_last = -1 or seq_last <
+    seq_first: Spark's DIV truncates toward zero while DuckDB's //
+    floors, so the unguarded (start_tok - 1) DIV expression is a
+    cross-engine mismatch for the doc at a shard's start (ADVICE r5)."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["", "alpha beta gamma", "   "],  # 0, 3, 0 tokens
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [0, 16, 3],
+    })
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in entry.queries()["curate_pack_sequences"](spark, sf).collect()
+    }
+    for d in (0, 2):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["seq_last"] == rows[d]["seq_first"] >= 0
 
 
 def test_mixture_rate_table_is_broadcast(spark):

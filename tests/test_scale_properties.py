@@ -512,3 +512,64 @@ def test_no_hof_lambda_indexes_a_derived_array(spark):
         if "element_at(split(" in plan:
             offenders.append(name)
     assert not offenders, f"derived-array indexing in HOF lambda: {offenders}"
+
+
+def test_incremental_oversized_batch_degrades_to_shuffle(spark, tmp_path):
+    """The broadcast-the-batch contract has a safety net (VERDICT r5
+    next-round #5): a batch over INCR_BROADCAST_MAX_ROWS rows falls
+    back to shuffle joins with IDENTICAL output instead of OOMing the
+    driver.  Both routing directions are pinned: the default path
+    broadcasts, the forced-fallback path produces the same rows for
+    both the MinHash and the embedding member of the family."""
+    from document_extraction_service_spark.operators import dedup as D
+    from document_extraction_service_spark.operators.similarity import (
+        LSH_TABLES, _auto_planes, _corpus_n,
+    )
+
+    # routing: the decision helper reads the module threshold at call
+    # time (driver-side), so monkeypatching it exercises the oversize
+    # branch without materializing 5M rows
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    assert D._batch_probe_hint(batch, None) is F.broadcast
+    orig = D.INCR_BROADCAST_MAX_ROWS
+    D.INCR_BROADCAST_MAX_ROWS = 0
+    try:
+        assert D._batch_probe_hint(batch, None) is not F.broadcast
+    finally:
+        D.INCR_BROADCAST_MAX_ROWS = orig
+
+    # near variant: broadcast and shuffle paths agree row-for-row
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = D.minhash_band_index(existing)
+    want = sorted(
+        map(tuple, D.incremental_near_dedup(
+            batch, idx, existing, broadcast_batch=True
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, D.incremental_near_dedup(
+            batch, idx, existing, broadcast_batch=False
+        ).collect())
+    )
+    assert got == want and len(want) == batch.count()
+
+    # embedding variant
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = _auto_planes(
+        _corpus_n(e, "/root/testdata/sf0.001/embeddings.parquet")
+    )
+    vb = e.filter(F.col("vec_id") % 10 == 0)
+    ve = e.filter(F.col("vec_id") % 10 != 0)
+    vidx = D.embedding_band_index(ve, LSH_TABLES, planes)
+    want_e = sorted(
+        map(tuple, D.incremental_emb_dedup(
+            vb, vidx, ve, LSH_TABLES, planes, broadcast_batch=True
+        ).collect())
+    )
+    got_e = sorted(
+        map(tuple, D.incremental_emb_dedup(
+            vb, vidx, ve, LSH_TABLES, planes, broadcast_batch=False
+        ).collect())
+    )
+    assert got_e == want_e and len(want_e) == vb.count()

@@ -189,6 +189,44 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
 
+def test_job_runs_end_to_end_from_wet_input(spark, tmp_path):
+    """`wet:<glob>` is a first-class job input: WET text rows enter as
+    null-html pages, ride the text-fallback extraction (status
+    fallback), and resume works off the WET file fingerprints — the
+    re-curate-an-existing-corpus loop closed end to end."""
+    from document_extraction_service_spark.job import run_job
+    from document_extraction_service_spark.sources.warc import write_wet
+    from document_extraction_service_spark.udfs import with_extraction
+
+    # derive a WET corpus from the fixture crawl (the normal producer)
+    warc = str(tmp_path / "crawl-00000.warc")
+    write_warc(warc, _fixture_records())
+    extracted = with_extraction(read_warc(spark, warc)).select(
+        "url",
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    wet_dir = str(tmp_path / "wet_in")
+    write_wet(extracted, wet_dir)
+
+    spec = f"wet:{wet_dir}/bucket=*/*.txt"
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    m1 = run_job(spark, spec, out, lin, run_id="wet1", n_buckets=8)
+    assert m1["n_rows"] == N_PAGES and m1["n_ok"] == N_PAGES
+    assert m1["n_fallback"] == N_PAGES  # every row rode the text path
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out)
+        .select("url", "extraction.extracted_text")
+        .collect()
+    }
+    want = {r["url"]: r["extracted_text"] for r in extracted.collect()}
+    assert got == want  # WET text survives the round trip byte-exactly
+    m2 = run_job(spark, spec, out, lin, run_id="wet1", n_buckets=8,
+                 resume=True)
+    assert m2["n_rows"] == 0 and len(m2["skipped_buckets"]) > 0
+
+
 def test_warc_chunked_emission(tmp_path):
     """The streaming reader must emit BOUNDED frames, not one frame
     per file: 5 records at chunk_records=2 -> 3 frames of 2/2/1 rows
