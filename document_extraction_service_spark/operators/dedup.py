@@ -1211,6 +1211,259 @@ FROM allb, t
 """
 
 
+# --- cross-document segment dedup (CCNet-style line dedup) ------------------
+# CCNet/C4 drop individual LINES (or 3-sentence spans) that recur across
+# many pages — boilerplate, navigation, license blurbs — while keeping
+# the rest of each page.  The corpus here is single-line text, so the
+# adapted segment unit is a fixed 10-word chunk (deterministic
+# segmentation; chunks partition the word sequence exactly, so a doc
+# with nothing dropped reassembles byte-identically).  A chunk is
+# dropped when it appears in >= LINE_DUP_DOCS DISTINCT docs.
+
+LINE_CHUNK_WORDS = 10
+LINE_DUP_DOCS = 3
+
+
+def _chunk_array():
+    """Column: the ordered 10-word chunks of `text`.  Built from the
+    slice + zip_with + stride-filter shape so every array is a HOF
+    ARGUMENT (the _word_ngrams performance contract — a lambda that
+    indexes a derived array re-evaluates split(text) per element).
+    Docs under LINE_CHUNK_WORDS words are one whole-text chunk; a
+    ragged tail (sz % 10 != 0) becomes its own final chunk, so the
+    chunks cover every word exactly once."""
+    n = LINE_CHUNK_WORDS
+    toks = F.split(F.col("text"), " ")
+    sz = F.size(toks)
+    n_grams = F.greatest(sz - n + 1, F.lit(0))
+
+    def shifted(k: int):
+        return F.slice(toks, k + 1, n_grams)
+
+    grams = shifted(0)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, shifted(k), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    full = F.filter(grams, lambda _, i: i % n == 0)
+    tail = F.array_join(F.slice(toks, (sz.cast("long") / n).cast("long") * n + 1, n), " ")
+    with_tail = F.when(sz % n == 0, full).otherwise(
+        F.concat(full, F.array(tail))
+    )
+    return F.when(sz >= n, with_tail).otherwise(F.array(F.col("text")))
+
+
+def dedup_lines(spark, sf_dir):
+    """Cross-doc segment dedup: per doc, drop every 10-word chunk that
+    occurs in >= LINE_DUP_DOCS distinct docs, reassemble the rest in
+    order -> (doc_id, n_chunks, n_dropped, clean_text).
+
+    Scale shape: chunking + fingerprinting is a pure map (md5 of the
+    chunk string); the recurrence count is one (fp, doc) distinct +
+    one fp-keyed agg — both combine map-side; the DUPLICATED-fp table
+    (bounded by the corpus's boilerplate mass, a tiny fraction of all
+    chunks) broadcasts into a left-anti probe, so the occurrence
+    stream is never shuffled; reassembly groups by doc_id, the job's
+    own shard key, so at 10^12 rows it rides the bucket layout.
+    Ordering inside the rebuild uses array_sort over (pos, chunk)
+    structs — deterministic, no window."""
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(_chunk_array()).alias("pos", "chunk")
+    ).withColumn("fp", F.md5("chunk"))
+    dup_fps = (
+        occ.select("fp", "doc_id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= LINE_DUP_DOCS)
+        .select("fp")
+    )
+    kept = occ.join(F.broadcast(dup_fps), "fp", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "chunk"))
+                ),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = d.select("doc_id", F.size(_chunk_array()).alias("n_chunks"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+_SQL_CHUNKS = f"""
+w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS sz
+      FROM documents),
+c AS (SELECT doc_id, i AS pos,
+             CASE WHEN sz < {LINE_CHUNK_WORDS} THEN text
+                  ELSE array_to_string(
+                    ws[i*{LINE_CHUNK_WORDS}+1 :
+                       least((i+1)*{LINE_CHUNK_WORDS}, sz)], ' ')
+             END AS chunk
+      FROM w, UNNEST(range(CASE WHEN sz < {LINE_CHUNK_WORDS} THEN 1
+                     ELSE CAST(ceil(sz / {LINE_CHUNK_WORDS}.0) AS BIGINT)
+                     END)) AS t(i))
+"""
+
+SQL_LINES = f"""
+WITH {_SQL_CHUNKS},
+f AS (SELECT doc_id, pos, md5(chunk) AS fp FROM c),
+dup AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS nd
+                        FROM f GROUP BY fp) WHERE nd >= {LINE_DUP_DOCS}),
+k AS (SELECT f.doc_id, f.pos, c.chunk
+      FROM f JOIN c USING (doc_id, pos)
+      WHERE f.fp NOT IN (SELECT fp FROM dup)),
+r AS (SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      FROM k GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+SELECT tot.doc_id, CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+       CAST(tot.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM tot LEFT JOIN r USING (doc_id)
+"""
+
+
+# --- Bloom-filter membership probe (have-we-seen-this-doc-before) -----------
+# The 100 TB pre-filter for incremental exact dedup: instead of joining
+# every new crawl batch against a 10^12-row fingerprint store, probe a
+# Bloom filter of the store first — only probable hits pay the exact
+# join.  The filter is built and probed entirely RELATIONALLY: bits
+# live in a (word, mask) TABLE (BLOOM_BITS / 63 rows of packed 63-bit
+# longs), built with one bit_or aggregation, and probes JOIN on the
+# word index — no driver-side bitmap, no UDF.  Hash positions derive
+# from md5 (seeded per probe k), so the exact construction is
+# expressible in DuckDB SQL and the oracle proves bit-for-bit parity.
+
+BLOOM_BITS = 1 << 20   # ~131 KB of bitmap; sizes linearly with corpus
+BLOOM_K = 4            # probes per key
+_BLOOM_WORD = 63       # bits packed per BIGINT (63 keeps 1<<bit positive
+#                        in both engines — DuckDB errors on BIGINT 1<<63)
+
+
+def _bloom_pos(fp, k: int):
+    """Bit position for probe k: first 15 md5 hex chars (60 bits) of
+    the seeded key, mod BLOOM_BITS.  Same arithmetic in SQL."""
+    h = F.md5(F.concat(fp, F.lit(f"|{k}")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % BLOOM_BITS
+    )
+
+
+def dedup_bloom(spark, sf_dir):
+    """(doc_id, maybe_dup, actually_dup) for today's batch (doc_id %
+    INCR_NEW_MOD == 0) probed against a Bloom filter of the existing
+    corpus' text fingerprints; actually_dup (the exact join the bloom
+    would gate at scale) is emitted alongside so the result
+    self-evidences the filter's contract — no false negatives, small
+    false-positive rate.
+
+    Scale shape: build = pure map over existing + ONE bit_or agg into
+    a 16k-row (word, mask) table; probe = batch pure map + broadcast
+    join on word.  The bitmap table broadcasts at any realistic size
+    (BLOOM_BITS/63 rows × 16 B; even a 10^10-bit filter is ~1.3 GB
+    spread over 160M rows — at that point drop the broadcast hint and
+    the same plan shuffle-joins on word).  The existing corpus is
+    scanned once and never re-shuffled beyond the agg's map-side
+    combine."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    existing = d.filter(F.col("doc_id") % INCR_NEW_MOD != 0).select(
+        fp.alias("fp")
+    )
+    batch = d.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("fp"), k) for k in range(BLOOM_K)])
+    ).alias("pos")
+    # shiftleft needs a literal shift in the python API -> expr form
+    _word = (F.col("pos") / _BLOOM_WORD).cast("long").alias("word")
+    _mbit = F.expr(
+        f"shiftleft(cast(1 as long), cast(pos % {_BLOOM_WORD} as int))"
+    ).alias("m")
+    bloom = (
+        existing.select(pos)
+        .select(_word, _mbit)
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    probes = batch.select("doc_id", "fp", pos).select(
+        "doc_id", "fp", _word, _mbit
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            "fp",
+            (
+                F.col("mask").isNotNull()
+                & (F.col("mask").bitwiseAND(F.col("m")) != 0)
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("doc_id", "fp")
+        .agg((F.sum("hit") == BLOOM_K).alias("maybe_dup"))
+    )
+    seen = existing.distinct().withColumn("actually_dup", F.lit(True))
+    return (
+        hits.join(F.broadcast(seen), "fp", "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce("actually_dup", F.lit(False)).alias("actually_dup"),
+        )
+    )
+
+
+def _sql_bloom_pos(fp: str, k: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5({fp} || '|{k}'), 1, 15) AS BIGINT)"
+        f" % {BLOOM_BITS}"
+    )
+
+
+def _sql_bloom() -> str:
+    build_pos = " UNION ALL ".join(
+        f"SELECT {_sql_bloom_pos('fp', k)} AS pos FROM e" for k in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT doc_id, fp, {_sql_bloom_pos('fp', k)} AS pos FROM b"
+        for k in range(BLOOM_K)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+e AS (SELECT fp FROM d WHERE doc_id % {INCR_NEW_MOD} != 0),
+b AS (SELECT doc_id, fp FROM d WHERE doc_id % {INCR_NEW_MOD} = 0),
+bloom AS (SELECT pos // {_BLOOM_WORD} AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS mask
+          FROM ({build_pos}) GROUP BY 1),
+probes AS (SELECT doc_id, fp, pos // {_BLOOM_WORD} AS word,
+                  CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER) AS m
+           FROM ({probe_pos})),
+hits AS (SELECT doc_id, fp,
+                SUM(CASE WHEN mask IS NOT NULL AND (mask & m) != 0
+                         THEN 1 ELSE 0 END) = {BLOOM_K} AS maybe_dup
+         FROM probes LEFT JOIN bloom USING (word)
+         GROUP BY doc_id, fp)
+SELECT doc_id, maybe_dup,
+       fp IN (SELECT fp FROM e) AS actually_dup
+FROM hits
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1227,6 +1480,8 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_containment": dedup_containment,
     "dedup_cluster_stats": dedup_cluster_stats,
+    "dedup_lines": dedup_lines,
+    "dedup_bloom": dedup_bloom,
 }
 
 ORACLES = {
@@ -1239,6 +1494,8 @@ ORACLES = {
     "dedup_keep_best": SQL_KEEP_BEST,
     "dedup_containment": SQL_CONTAINMENT,
     "dedup_cluster_stats": SQL_CLUSTER_STATS,
+    "dedup_lines": SQL_LINES,
+    "dedup_bloom": _sql_bloom(),
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based -> pinned-replay
     # oracles built in __spark_entry__ from tests/golden/sketch_invariants.json
 }
