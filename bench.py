@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "text_rarity",
     "dedup_keep_best",
     "dedup_containment",
+    "dedup_lines",
+    "dedup_bloom",
+    "text_lm_score",
+    "corpus_drift",
 ]
 
 

@@ -581,6 +581,187 @@ GROUP BY t.doc_id
 """
 
 
+# --- corpus-trained bigram LM likelihood (fixed point) ----------------------
+# CCNet filters documents by KenLM perplexity of an LM trained on a
+# trusted corpus.  The deterministic, oracle-able analog: train a
+# bigram model on the corpus itself (top-LM_TOP bigrams by count, so
+# the model broadcasts) and score each doc by its MEAN CONDITIONAL
+# PROBABILITY p(w2|w1) = c(w1 w2)/c(w1 ·) in fixed point — integer
+# floor-division only (transcendental-free project contract: a sum of
+# per-position scaled probabilities replaces the sum of log-probs; it
+# orders garbled vs natural text the same way and is bit-exact
+# cross-engine).  Out-of-model bigrams contribute 0 — the model is a
+# quality REFERENCE, not a full LM.  Prefixes with support below
+# LM_MIN_PREFIX are PRUNED from the model (KenLM-style count
+# pruning): a hapax prefix makes p(w2|w1) trivially 1.0, which would
+# hand garbled-unique text a perfect score.
+LM_TOP = 4096       # bounded broadcast bigram table
+LM_MIN_PREFIX = 5   # minimum prefix occurrences to stay in the model
+LM_SCALE = 1_000_000
+
+
+def text_lm_score(spark, sf_dir):
+    """(doc_id, n_bigrams, n_inlm, lm_score): mean fixed-point bigram
+    conditional probability against the corpus' own top-LM_TOP bigram
+    model; n_inlm counts positions the model covers.
+
+    Scale shape: the bigram count is ONE hash agg with map-side
+    combine; prefix totals are a second agg over the (distinct-bigram)
+    count table, not the occurrence stream; the model is truncated by
+    the two-stage top-K (partition-local row_number, merge over <=
+    K*P survivors) and the <=LM_TOP-row table BROADCASTS into the
+    scoring join, so per-doc scoring is map-side + one doc_id-keyed
+    agg on the job's own shard key.  Deterministic: ties break
+    (count desc, gram asc)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(_word_ngrams(2)).alias("gram"))
+    c = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    w1 = F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1")
+    pre = c.groupBy(w1).agg(F.sum("n").alias("np")).filter(
+        F.col("np") >= LM_MIN_PREFIX
+    )
+    local = c.withColumn("part", F.spark_partition_id())
+    wl = Window.partitionBy("part").orderBy(F.desc("n"), F.asc("gram"))
+    cand = (
+        local.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= LM_TOP)
+        .drop("part", "lr")
+    )
+    # single-task merge window, bounded at LM_TOP * n_partitions rows
+    wg = Window.partitionBy().orderBy(F.desc("n"), F.asc("gram"))
+    top = (
+        cand.withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") <= LM_TOP)
+        .select("gram", "n", w1)
+    )
+    tbl = pre.join(F.broadcast(top), "w1").select(
+        "gram", F.expr(f"({LM_SCALE} * n) div np").alias("p")
+    )
+    j = grams.join(F.broadcast(tbl), "gram", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("p").isNotNull().cast("long")).alias("n_inlm"),
+        F.expr("sum(coalesce(p, 0)) div count(1)").alias("lm_score"),
+    )
+
+
+SQL_LM_SCORE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, u.gram
+      FROM (SELECT doc_id, {_sql_ngrams(2)} AS b FROM toks), UNNEST(b) AS u(gram)),
+c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+pre AS (SELECT split_part(gram, ' ', 1) AS w1, SUM(n) AS np FROM c
+        GROUP BY 1 HAVING SUM(n) >= {LM_MIN_PREFIX}),
+top AS (SELECT gram, n FROM c ORDER BY n DESC, gram ASC LIMIT {LM_TOP}),
+tbl AS (SELECT gram, CAST(({LM_SCALE} * n) // np AS BIGINT) AS p
+        FROM top JOIN pre ON split_part(top.gram, ' ', 1) = pre.w1)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN tbl.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_inlm,
+       CAST(SUM(COALESCE(p, 0)) // COUNT(*) AS BIGINT) AS lm_score
+FROM g LEFT JOIN tbl USING (gram)
+GROUP BY doc_id
+"""
+
+
+# --- corpus distribution drift (continuous-crawl monitor) -------------------
+# A production crawl pipeline watches each new batch's token
+# distribution against the accumulated corpus: a language flip, a
+# spam flood, or a parser regression all show up as distribution
+# drift before any downstream model does.  Total-variation distance
+# in fixed point (integer floor-division; order-independent sums ->
+# bit-exact cross-engine), plus the top-DRIFT_TOP most-divergent
+# tokens as the actionable diagnostic.
+DRIFT_TOP = 20
+DRIFT_BATCH_MOD = 10   # doc_id % 10 == 0 is "today's batch" (mirrors
+#                        dedup.INCR_NEW_MOD — one corpus-wide batch rule)
+
+
+def corpus_drift(spark, sf_dir):
+    """Top-DRIFT_TOP drifted tokens between today's batch and the
+    existing corpus: (tok, p_batch, p_corpus, drift, tvd) — p_* are
+    scaled token frequencies (floor(1e6 * c / total)), drift their
+    absolute difference, tvd the corpus-level total-variation distance
+    (constant column: SUM(drift)/2 over the WHOLE vocabulary, not
+    just the rows shown).
+
+    Scale shape: one token-count agg with map-side combine producing
+    per-side counts in the same pass (conditional sums — the corpus is
+    scanned ONCE); totals are a one-row agg broadcast back; drift
+    ranking uses the two-stage top-K so no task sorts the full
+    vocabulary; tvd is an agg over the vocab-sized count table, not
+    the occurrence stream."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % DRIFT_BATCH_MOD == 0).alias("is_new"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum(F.col("is_new").cast("long")).alias("cn"),
+        F.sum((~F.col("is_new")).cast("long")).alias("co"),
+    )
+    # the count table feeds four consumers (totals, tvd, top-k local +
+    # merge); without a checkpoint each branch re-scans the corpus —
+    # localCheckpoint (lazy) bounds materialization at vocab size and
+    # keeps the corpus scan at exactly one
+    c = c.localCheckpoint(eager=False)
+    tot = c.agg(F.sum("cn").alias("tn"), F.sum("co").alias("tc"))
+    p = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.expr(f"({LM_SCALE} * cn) div greatest(tn, 1)").alias("p_batch"),
+            F.expr(f"({LM_SCALE} * co) div greatest(tc, 1)").alias("p_corpus"),
+        )
+        .withColumn("drift", F.abs(F.col("p_batch") - F.col("p_corpus")))
+    )
+    tvd = p.agg(F.expr("sum(drift) div 2").cast("long").alias("tvd"))
+    local = p.withColumn("part", F.spark_partition_id())
+    wl = Window.partitionBy("part").orderBy(F.desc("drift"), F.asc("tok"))
+    cand = (
+        local.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= DRIFT_TOP)
+        .drop("part", "lr")
+    )
+    wg = Window.partitionBy().orderBy(F.desc("drift"), F.asc("tok"))
+    top = (
+        cand.withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") <= DRIFT_TOP)
+        .drop("r")
+    )
+    return top.crossJoin(F.broadcast(tvd)).select(
+        "tok", "p_batch", "p_corpus", "drift", "tvd"
+    )
+
+
+SQL_DRIFT = f"""
+WITH toks AS (SELECT doc_id % {DRIFT_BATCH_MOD} = 0 AS is_new, u.tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                   UNNEST(t) AS u(tok)),
+c AS (SELECT tok,
+             SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS cn,
+             SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS co
+      FROM toks GROUP BY tok),
+tot AS (SELECT SUM(cn) AS tn, SUM(co) AS tc FROM c),
+p AS (SELECT tok,
+             CAST(({LM_SCALE} * cn) // greatest(tn, 1) AS BIGINT) AS p_batch,
+             CAST(({LM_SCALE} * co) // greatest(tc, 1) AS BIGINT) AS p_corpus
+      FROM c, tot),
+pd AS (SELECT tok, p_batch, p_corpus,
+              abs(p_batch - p_corpus) AS drift FROM p),
+tvd AS (SELECT CAST(SUM(drift) // 2 AS BIGINT) AS tvd FROM pd)
+SELECT tok, p_batch, p_corpus, CAST(drift AS BIGINT) AS drift, tvd.tvd AS tvd
+FROM pd, tvd
+ORDER BY drift DESC, tok ASC
+LIMIT {DRIFT_TOP}
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -591,6 +772,8 @@ QUERIES = {
     "text_redact_pii": text_redact_pii,
     "text_repetition": text_repetition,
     "text_rarity": text_rarity,
+    "text_lm_score": text_lm_score,
+    "corpus_drift": corpus_drift,
 }
 
 ORACLES = {
@@ -603,4 +786,6 @@ ORACLES = {
     "text_redact_pii": SQL_REDACT,
     "text_repetition": SQL_REPETITION,
     "text_rarity": SQL_RARITY,
+    "text_lm_score": SQL_LM_SCORE,
+    "corpus_drift": SQL_DRIFT,
 }

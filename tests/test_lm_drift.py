@@ -1,0 +1,119 @@
+"""Semantic + plan-shape tests for text_lm_score (fixed-point bigram
+LM likelihood, the trained-LM CCNet-perplexity analog) and
+corpus_drift (batch-vs-corpus token distribution monitor).
+Value-vs-DuckDB equality is covered by test_operators_oracle.py's
+parametrized sweep; these pin the SEMANTIC contracts and the
+scale-critical plan shapes."""
+
+import pandas as pd
+
+import __spark_entry__ as entry
+from document_extraction_service_spark.operators.textstats import (
+    DRIFT_BATCH_MOD,
+    LM_SCALE,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mk_docs(spark, tmp_path, texts):
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+# --- text_lm_score ----------------------------------------------------------
+
+
+def test_lm_score_orders_natural_above_garbled(spark, tmp_path):
+    """Docs made of the corpus' dominant bigrams must score strictly
+    above a doc of hapax bigrams (every bigram out-of-model or
+    count-1): the perplexity-filter ordering."""
+    common = ["the cat sat on the mat and the cat sat"] * 8
+    garbled = " ".join(f"zq{i}x" for i in range(10))
+    sf = _mk_docs(spark, tmp_path, common + [garbled])
+    rows = {
+        r["doc_id"]: r
+        for r in entry.queries()["text_lm_score"](spark, sf).collect()
+    }
+    nat = rows[0]["lm_score"]
+    garb = rows[len(common)]["lm_score"]
+    assert nat > garb
+    assert rows[0]["n_inlm"] == rows[0]["n_bigrams"]
+
+
+def test_lm_score_exact_fixed_point_value(spark, tmp_path):
+    """Hand-checked arithmetic: corpus 'a b a b' x2 + 'a c'.  Bigram
+    counts: 'a b'=4, 'b a'=2, 'a c'=1; prefix a·=5 (kept, =
+    LM_MIN_PREFIX), b·=2 (PRUNED).  p(b|a) = 4/5 -> 800000,
+    p(c|a) = 1/5 -> 200000, 'b a' out-of-model -> 0.
+    Doc 'a b a b': (800000+0+800000) div 3 = 533333."""
+    sf = _mk_docs(spark, tmp_path, ["a b a b", "a b a b", "a c"])
+    rows = {
+        r["doc_id"]: r
+        for r in entry.queries()["text_lm_score"](spark, sf).collect()
+    }
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["n_inlm"] == 2
+    assert rows[0]["lm_score"] == 533333
+    assert rows[2]["lm_score"] == 200000
+
+
+def test_lm_model_join_is_broadcast(spark):
+    """The <=LM_TOP-row bigram model must broadcast into the scoring
+    join — a sort-merge join there would shuffle every bigram
+    occurrence of the corpus (the 10^12-row side)."""
+    plan = _plan(entry.queries()["text_lm_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- corpus_drift -----------------------------------------------------------
+
+
+def test_drift_detects_distribution_flip(spark, tmp_path):
+    """Batch all-'zzz', corpus all-'aaa': both tokens drift at full
+    scale and tvd = LM_SCALE (total distribution replacement)."""
+    texts = ["zzz" if i % DRIFT_BATCH_MOD == 0 else "aaa" for i in range(40)]
+    sf = _mk_docs(spark, tmp_path, texts)
+    rows = {
+        r["tok"]: r for r in entry.queries()["corpus_drift"](spark, sf).collect()
+    }
+    assert set(rows) == {"aaa", "zzz"}
+    assert rows["zzz"]["p_batch"] == LM_SCALE and rows["zzz"]["p_corpus"] == 0
+    assert rows["aaa"]["p_batch"] == 0 and rows["aaa"]["p_corpus"] == LM_SCALE
+    assert rows["zzz"]["tvd"] == LM_SCALE
+
+
+def test_drift_near_zero_for_identical_distributions(spark, tmp_path):
+    """Same text on both sides -> every token's drift is bounded by
+    fixed-point floor error and tvd is ~0 (< one part in 1e3)."""
+    texts = ["alpha beta gamma delta" for _ in range(40)]
+    sf = _mk_docs(spark, tmp_path, texts)
+    rows = entry.queries()["corpus_drift"](spark, sf).collect()
+    assert rows
+    assert all(r["tvd"] < LM_SCALE // 1000 for r in rows)
+
+
+def test_drift_plan_single_scan_no_smj(spark):
+    """One conditional-sum agg covers both sides and the checkpointed
+    count table feeds all four consumers: the corpus parquet is
+    scanned at most once in the final plan and nothing sort-merge
+    joins (totals and tvd broadcast back)."""
+    df = entry.queries()["corpus_drift"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 1
