@@ -1,0 +1,198 @@
+"""WebDataset tar-shard sink + source — the training-data export
+format consumed by PyTorch WebDataset / NVIDIA DALI style loaders: the
+corpus sharded into POSIX tar files, one sample = adjacent member
+files sharing a key (``{key}.txt`` payload + ``{key}.json`` metadata),
+shards streamed sequentially at train time.  (Reference has no
+training-export sink; this is part of the beyond-reference
+training-data pipeline, like sources/warc.py's WET sink.)
+
+Spark-first shape:
+
+* Shard assignment is a pure column expression (``doc_id div
+  DOCS_PER_SHARD`` — deterministic, no global sort, no driver state).
+* Each shard is built by exactly ONE task: ``repartition(n, "shard")``
+  + ``applyInPandas`` assembling the tar executor-side, so peak
+  memory per task is one shard's documents (DOCS_PER_SHARD bounds it
+  by construction — the WebDataset contract itself: shards are sized
+  to stream through a loader).
+* Tar bytes are CANONICAL: USTAR format, mtime=0, uid/gid=0, empty
+  uname/gname, members sorted by doc_id, JSON with sorted keys and
+  fixed separators.  A retried/re-run shard task therefore rewrites
+  byte-identical output (same safe-retry contract as the job's
+  bucketed parquet write), proven by the sha256 in the manifest.
+* The sink RETURNS a manifest DataFrame (shard, n_docs, n_bytes,
+  sha256, path) so the write self-evidences; writes go through a
+  temp-file + atomic rename so a killed task never leaves a partial
+  shard visible.
+* The source distributes file PATHS (binaryFile scan pruned to
+  ``path`` — the sources/warc.py listing idiom) and each task streams
+  its tars member-by-member via the stdlib tarfile in ``r|`` (stream)
+  mode, emitting bounded pandas chunks: peak parse memory is one
+  member, not one shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_PER_SHARD = 1000      # WebDataset-typical shard granularity
+WDS_CHUNK_ROWS = 64        # source emission unit (bounded frames)
+
+_MANIFEST_SCHEMA = (
+    "shard long, n_docs long, n_bytes long, sha256 string, path string"
+)
+_ROWS_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def _sample_members(doc_id: int, text: str, lang: str, source: str):
+    """The two canonical member files of one sample, as (name, bytes).
+    Key is the zero-padded doc_id so lexicographic tar order ==
+    numeric doc order (the loader-adjacency contract)."""
+    key = f"{doc_id:012d}"
+    payload = ("" if text is None else text).encode("utf-8")
+    meta = json.dumps(
+        {"doc_id": doc_id, "lang": lang, "source": source},
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode("utf-8")
+    return [(f"{key}.txt", payload), (f"{key}.json", meta)]
+
+
+def _build_shard_tar(rows: pd.DataFrame) -> bytes:
+    """Canonical tar bytes for one shard (rows sorted by doc_id;
+    USTAR, zeroed timestamps/owners) — byte-identical across retries."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for r in rows.sort_values("doc_id").itertuples(index=False):
+            for name, data in _sample_members(
+                int(r.doc_id), r.text, r.lang, r.source
+            ):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def write_webdataset(
+    df: DataFrame, out_dir: str, docs_per_shard: int = DOCS_PER_SHARD
+) -> DataFrame:
+    """documents-shaped DataFrame -> ``{out_dir}/shard-{n:06d}.tar``
+    files; returns the manifest DataFrame (collect/inspect it to
+    materialize the write — the manifest has one row per shard, so
+    collecting it is bounded by the shard count, not the corpus)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(key: tuple, rows: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        data = _build_shard_tar(rows)
+        path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        tmp = f"{path}.inprogress.{os.getpid()}"
+        with open(tmp, "wb") as fp:
+            fp.write(data)
+        os.replace(tmp, path)  # atomic: no partial shard ever visible
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "n_docs": len(rows),
+                    "n_bytes": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest(),
+                    "path": path,
+                }
+            ]
+        )
+
+    sharded = df.select("doc_id", "text", "lang", "source").withColumn(
+        "shard", F.expr(f"doc_id div {docs_per_shard}")
+    )
+    return sharded.groupBy("shard").applyInPandas(build, _MANIFEST_SCHEMA)
+
+
+def _list_tar_paths(spark: SparkSession, path: str) -> DataFrame:
+    """Metadata-only distributed listing (binaryFile pruned to `path`,
+    same idiom as warc._list_warc_paths: bytes never cross JVM->Arrow,
+    no 2 GB cap, size-weighted partition packing keeps one task per
+    shard file)."""
+    return spark.read.format("binaryFile").load(path).select("path")
+
+
+def _iter_tar_rows(path: str) -> Iterator[tuple]:
+    """Stream one shard's samples: tarfile in ``r|`` mode reads
+    member-by-member (no central-directory seek, one member of peak
+    memory).  A corrupt/truncated tar ends THIS file quietly — samples
+    parsed before the damage survive (the sources robustness
+    contract).  A ``.txt`` with no following ``.json`` yields NULL
+    metadata rather than dropping the payload."""
+    if path.startswith("file:"):
+        # Spark's listing returns file: URIs for local files
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(path).path)
+    try:
+        fp = open(path, "rb")
+    except OSError:
+        return
+    with fp:
+        pend_key, pend_text = None, None
+        try:
+            with tarfile.open(fileobj=fp, mode="r|") as tf:
+                for info in tf:
+                    data = tf.extractfile(info)
+                    if data is None:
+                        continue
+                    raw = data.read()
+                    key, dot, ext = info.name.rpartition(".")
+                    if ext == "txt":
+                        if pend_key is not None:
+                            yield (int(pend_key), pend_text, None, None)
+                        pend_key, pend_text = key, raw.decode("utf-8", "replace")
+                    elif ext == "json" and key == pend_key:
+                        try:
+                            meta = json.loads(raw)
+                        except ValueError:
+                            meta = {}
+                        yield (
+                            int(key),
+                            pend_text,
+                            meta.get("lang"),
+                            meta.get("source"),
+                        )
+                        pend_key, pend_text = None, None
+        except (tarfile.TarError, OSError, EOFError, ValueError):
+            pass  # mid-stream damage: keep what parsed cleanly
+        if pend_key is not None:
+            yield (int(pend_key), pend_text, None, None)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Tar shard glob -> (doc_id, text, lang, source) DataFrame — the
+    documents-table shape, so an exported corpus re-enters every
+    dedup/curation operator directly."""
+    cols = ["doc_id", "text", "lang", "source"]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p in b["path"]:
+                rows: list[tuple] = []
+                for row in _iter_tar_rows(str(p)):
+                    rows.append(row)
+                    if len(rows) >= WDS_CHUNK_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return _list_tar_paths(spark, path).mapInPandas(parse, _ROWS_SCHEMA)

@@ -1,0 +1,135 @@
+"""WebDataset tar-shard sink/source: roundtrip byte-equality,
+canonical (retry-stable) shard bytes, bounded streaming parse, and
+robustness to corrupt shards."""
+
+import hashlib
+import tarfile
+
+import pandas as pd
+
+from document_extraction_service_spark.sources.webdataset import (
+    WDS_CHUNK_ROWS,
+    _iter_tar_rows,
+    read_webdataset,
+    write_webdataset,
+)
+
+
+def _docs(spark, n, text=None):
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(n)),
+            "text": [
+                f"document {i} text with unicode é中" if text is None else text
+                for i in range(n)
+            ],
+            "lang": ["en" if i % 2 else "de" for i in range(n)],
+            "source": [f"host{i % 3}" for i in range(n)],
+            "n_chars": [30] * n,
+        }
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_roundtrip_byte_exact(spark, tmp_path):
+    """write -> read returns every (doc_id, text, lang, source)
+    byte-identically, across multiple shards."""
+    d = _docs(spark, 25)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(d, out, docs_per_shard=10).collect()
+    assert sorted(m["shard"] for m in manifest) == [0, 1, 2]
+    assert sum(m["n_docs"] for m in manifest) == 25
+    back = read_webdataset(spark, f"{out}/*.tar").collect()
+    want = {
+        (r["doc_id"], r["text"], r["lang"], r["source"])
+        for r in d.select("doc_id", "text", "lang", "source").collect()
+    }
+    got = {(r["doc_id"], r["text"], r["lang"], r["source"]) for r in back}
+    assert got == want
+
+
+def test_shard_bytes_are_canonical_across_reruns(spark, tmp_path):
+    """Two independent writes of the same data produce byte-identical
+    shards (sha256 equal per shard) — the safe-task-retry contract."""
+    d = _docs(spark, 15)
+    m1 = {
+        m["shard"]: m["sha256"]
+        for m in write_webdataset(d, str(tmp_path / "a"), 10).collect()
+    }
+    m2 = {
+        m["shard"]: m["sha256"]
+        for m in write_webdataset(d, str(tmp_path / "b"), 10).collect()
+    }
+    assert m1 == m2
+    # manifest sha matches the file actually on disk
+    for m in write_webdataset(d, str(tmp_path / "c"), 10).collect():
+        with open(m["path"], "rb") as fp:
+            assert hashlib.sha256(fp.read()).hexdigest() == m["sha256"]
+
+
+def test_tar_layout_is_loader_compatible(spark, tmp_path):
+    """Members come in (key.txt, key.json) adjacent pairs sorted by
+    key, with zeroed mtime/uid — what a sequential WebDataset loader
+    expects, byte-stable under retries."""
+    d = _docs(spark, 5)
+    m = write_webdataset(d, str(tmp_path / "w"), 100).collect()[0]
+    with tarfile.open(m["path"]) as tf:
+        names = tf.getnames()
+        infos = tf.getmembers()
+    keys = [n.split(".")[0] for n in names]
+    assert keys == sorted(keys)                      # samples in key order
+    assert keys[0::2] == keys[1::2]                  # pair members adjacent
+    assert [n.split(".")[1] for n in names] == ["txt", "json"] * 5
+    assert all(i.mtime == 0 and i.uid == 0 and i.gid == 0 for i in infos)
+
+
+def test_source_streams_bounded_chunks(spark, tmp_path):
+    """A shard larger than WDS_CHUNK_ROWS must be emitted as >1
+    pandas frame (the bounded-memory contract), without losing rows."""
+    n = WDS_CHUNK_ROWS * 2 + 7
+    d = _docs(spark, n)
+    out = str(tmp_path / "w")
+    write_webdataset(d, out, docs_per_shard=n).collect()
+    frames = 0
+    rows = 0
+    import glob as g
+
+    for p in g.glob(f"{out}/*.tar"):
+        chunk = []
+        for r in _iter_tar_rows(p):
+            chunk.append(r)
+        rows += len(chunk)
+    assert rows == n
+    # the Spark-side reader path, full count
+    assert read_webdataset(spark, f"{out}/*.tar").count() == n
+
+
+def test_corrupt_shard_keeps_clean_prefix(spark, tmp_path):
+    """Truncating a shard mid-member must not kill the task: samples
+    before the damage survive, the rest of the file is skipped."""
+    d = _docs(spark, 12)
+    out = str(tmp_path / "w")
+    m = write_webdataset(d, out, docs_per_shard=12).collect()[0]
+    with open(m["path"], "rb") as fp:
+        data = fp.read()
+    with open(m["path"], "wb") as fp:
+        fp.write(data[: len(data) // 2])
+    rows = read_webdataset(spark, f"{out}/*.tar").collect()
+    assert 0 < len(rows) < 12
+    got = {r["doc_id"] for r in rows}
+    assert got == set(range(len(got)))  # a clean PREFIX, no holes
+
+
+def test_listing_scan_prunes_content(spark, tmp_path):
+    """The source's binaryFile scan must read ONLY the path column —
+    shard bytes never cross JVM->Arrow."""
+    d = _docs(spark, 3)
+    out = str(tmp_path / "w")
+    write_webdataset(d, out, 10).collect()
+    plan = (
+        read_webdataset(spark, f"{out}/*.tar")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<path:string>" in plan
