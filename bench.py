@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dedup_bloom",
     "text_lm_score",
     "corpus_drift",
+    "web_blocklist_filter",
 ]
 
 

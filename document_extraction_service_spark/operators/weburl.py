@@ -445,12 +445,100 @@ p{i} AS (SELECT h.host,
     )
 
 
+# --- domain blocklist filter (UT1/C4-style) ---------------------------------
+# C4/RefinedWeb drop whole domains against curated blocklists (UT1
+# adult/malware lists, internal spam lists).  The semantics that
+# matter: an entry blocks the EXACT host and every SUBDOMAIN of it
+# ("example0.com" blocks "m.site3.example0.com"), while a
+# subdomain-only entry must NOT block its parent.  Deterministic
+# in-repo rule list (no external data); hosts synthesized from doc_id
+# with a subdomain tier so both directions are exercised.
+BLOCKLIST_RULES = (
+    "example0.com",          # registered-domain block (suffix semantics)
+    "site1.example1.com",    # exact-host block (+ its subdomains)
+    "m.site2.example2.com",  # subdomain-only block (parent stays clean)
+)
+
+
+def _bl_host():
+    """Column: synthetic host with a subdomain tier — site{%20} x
+    example{%7} (moduli coprime so domains don't correlate, CLAUDE.md
+    #23) with an 'm.' mobile subdomain on every third doc."""
+    return F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("m.")).otherwise(F.lit("")),
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com"),
+    )
+
+
+def web_blocklist_filter(spark, sf_dir):
+    """(doc_id, host, blocked, matched_rule): host blocked iff it or
+    any of its domain suffixes is a blocklist entry.
+
+    Scale shape: each host emits <= 3 fixed-width candidate keys (the
+    host + its last-3 and last-2 label suffixes via substring_index —
+    NO per-label explode, no HOF over a derived array), the blocklist
+    BROADCASTS (UT1-scale lists are a few MB; a truly giant list
+    would drop the hint and shuffle-join on key with identical
+    semantics), and the verdict agg groups on doc_id, the job's own
+    shard key.  Pure codegen strings end to end."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _bl_host().alias("host"))
+    cand = docs.select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("host"),
+                    F.substring_index(F.col("host"), ".", -3),
+                    F.substring_index(F.col("host"), ".", -2),
+                )
+            )
+        ).alias("key"),
+    )
+    bl = spark.createDataFrame([(r,) for r in BLOCKLIST_RULES], "rule string")
+    j = cand.join(F.broadcast(bl), cand.key == bl.rule, "left")
+    return j.groupBy("doc_id", "host").agg(
+        (F.count("rule") > 0).alias("blocked"),
+        F.min("rule").alias("matched_rule"),
+    )
+
+
+_SQL_BL_VALUES = ", ".join(f"('{r}')" for r in BLOCKLIST_RULES)
+SQL_BLOCKLIST = f"""
+WITH docs AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE '' END) ||
+         'site' || (doc_id % 20) || '.example' || (doc_id % 7) || '.com'
+           AS host
+  FROM documents),
+bl(rule) AS (VALUES {_SQL_BL_VALUES}),
+cand AS (
+  SELECT doc_id, host, u.key
+  FROM (SELECT doc_id, host,
+               list_distinct([
+                 host,
+                 array_to_string(l[greatest(len(l) - 2, 1):], '.'),
+                 array_to_string(l[greatest(len(l) - 1, 1):], '.')
+               ]) AS ks
+        FROM (SELECT doc_id, host, string_split(host, '.') AS l FROM docs)),
+       UNNEST(ks) AS u(key)),
+j AS (SELECT c.doc_id, c.host, bl.rule
+      FROM cand c LEFT JOIN bl ON c.key = bl.rule)
+SELECT doc_id, host, COUNT(rule) > 0 AS blocked, MIN(rule) AS matched_rule
+FROM j GROUP BY doc_id, host
+"""
+
+
 QUERIES = {
     "web_url_canonicalize": web_url_canonicalize,
     "web_host_rollup": web_host_rollup,
     "web_url_dedup": web_url_dedup,
     "web_host_quality": web_host_quality,
     "web_host_pagerank": web_host_pagerank,
+    "web_blocklist_filter": web_blocklist_filter,
 }
 ORACLES = {
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
@@ -458,4 +546,5 @@ ORACLES = {
     "web_url_dedup": SQL_URL_DEDUP,
     "web_host_quality": _sql_host_quality(),
     "web_host_pagerank": _sql_pagerank(),
+    "web_blocklist_filter": SQL_BLOCKLIST,
 }

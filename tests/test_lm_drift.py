@@ -117,3 +117,37 @@ def test_drift_plan_single_scan_no_smj(spark):
     plan = _plan(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+# --- web_blocklist_filter ---------------------------------------------------
+
+
+def test_blocklist_suffix_exact_and_subdomain_semantics(spark):
+    """The three rule directions on the synthetic host space:
+    - 'example0.com' blocks every subdomain under it (suffix rule):
+      doc 21 -> m.site1.example0.com;
+    - 'site1.example1.com' blocks the exact host: doc 1;
+    - 'm.site2.example2.com' blocks ONLY that subdomain: doc 282 (m.)
+      is blocked but doc 142 (the parent site2.example2.com) is NOT."""
+    rows = {
+        r["doc_id"]: r
+        for r in entry.queries()["web_blocklist_filter"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert rows[21]["host"] == "m.site1.example0.com"
+    assert rows[21]["blocked"] and rows[21]["matched_rule"] == "example0.com"
+    assert rows[1]["host"] == "site1.example1.com"
+    assert rows[1]["blocked"] and rows[1]["matched_rule"] == "site1.example1.com"
+    assert rows[282]["host"] == "m.site2.example2.com"
+    assert rows[282]["blocked"]
+    assert rows[142]["host"] == "site2.example2.com"
+    assert not rows[142]["blocked"] and rows[142]["matched_rule"] is None
+
+
+def test_blocklist_plan_broadcasts_rules(spark):
+    """The rule table must broadcast — the per-doc candidate-key
+    stream (the 10^12-row side) never shuffles for the match."""
+    plan = _plan(entry.queries()["web_blocklist_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
