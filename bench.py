@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "text_lm_score",
     "corpus_drift",
     "web_blocklist_filter",
+    "curate_dsir",
 ]
 
 

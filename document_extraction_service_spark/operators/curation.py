@@ -704,6 +704,92 @@ FROM n
 """
 
 
+# --- DSIR importance weighting (hashed n-gram distribution ratio) -----------
+# DSIR (Xie et al. 2023) selects pretraining data by importance
+# weights over HASHED n-gram features: w(doc) ~ p_target(features) /
+# p_raw(features).  Deterministic fixed-point version: bigrams hash
+# into DSIR_BUCKETS via md5 (SQL-expressible, PYTHONHASHSEED-immune),
+# per-bucket weight = (target freq / raw freq) as one scaled integer
+# ratio, doc score = mean bucket weight over its bigram occurrences.
+# The target-domain sample is the doc_id % DSIR_MOD == 0 slice (the
+# curate_decontaminate stand-in convention; 17 is coprime to every
+# other modulus in the suite).  At 10^12 grams the products
+# (SCALE * ct * R) outgrow BIGINT — route through DECIMAL(38,0)
+# there; at test scale both engines stay in exact int64.
+DSIR_BUCKETS = 8192
+DSIR_MOD = 17
+DSIR_SCALE = 1_000_000
+
+
+def _dsir_bucket(gram):
+    """Column: md5-derived feature bucket (first 15 hex chars = 60
+    bits, mod DSIR_BUCKETS) — the dedup_bloom position arithmetic."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def curate_dsir(spark, sf_dir):
+    """(doc_id, n_grams, dsir_score): mean fixed-point importance
+    weight of the doc's hashed-bigram features, target-over-raw.
+
+    Scale shape: ONE conditional-sum agg produces raw and target
+    bucket counts in a single corpus scan (the corpus_drift pattern);
+    the count table is <= DSIR_BUCKETS rows, localCheckpoint'ed so its
+    three consumers (totals, weights, nothing else rescans) stay
+    corpus-free; the weight table BROADCASTS into the scoring join, so
+    per-doc scoring is map-side + one doc_id-keyed agg on the job's
+    own shard key.  Two corpus scans total (count pass + score pass),
+    zero sort-merge joins."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(_word_ngrams(2)).alias("gram"))
+    b = grams.select("doc_id", _dsir_bucket(F.col("gram")).alias("bkt"))
+    c = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("doc_id") % DSIR_MOD == 0).cast("long")).alias("ct"),
+    ).localCheckpoint(eager=False)
+    tots = c.agg(F.sum("cr").alias("R"), F.sum("ct").alias("T"))
+    weights = c.crossJoin(F.broadcast(tots)).select(
+        "bkt",
+        F.expr(
+            f"({DSIR_SCALE} * ct * R) div greatest(T * cr, 1)"
+        ).alias("w"),
+    )
+    return (
+        b.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.expr("sum(w) div count(1)").alias("dsir_score"),
+        )
+    )
+
+
+SQL_DSIR = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, u.gram
+      FROM (SELECT doc_id, {_sql_ngrams(2)} AS bg FROM toks),
+           UNNEST(bg) AS u(gram)),
+b AS (SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+               % {DSIR_BUCKETS} AS bkt
+      FROM g),
+c AS (SELECT bkt, COUNT(*) AS cr,
+             SUM(CASE WHEN doc_id % {DSIR_MOD} = 0 THEN 1 ELSE 0 END) AS ct
+      FROM b GROUP BY bkt),
+tot AS (SELECT SUM(cr) AS R, SUM(ct) AS T FROM c),
+w AS (SELECT bkt,
+             CAST(({DSIR_SCALE} * ct * R) // greatest(T * cr, 1) AS BIGINT)
+               AS w
+      FROM c, tot)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(w) // COUNT(*) AS BIGINT) AS dsir_score
+FROM b JOIN w USING (bkt)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
@@ -714,6 +800,7 @@ QUERIES = {
     "curate_domain_mixture": curate_domain_mixture,
     "curate_pack_sequences": curate_pack_sequences,
     "curate_epoch_plan": curate_epoch_plan,
+    "curate_dsir": curate_dsir,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
@@ -725,4 +812,5 @@ ORACLES = {
     "curate_domain_mixture": SQL_MIXTURE,
     "curate_pack_sequences": SQL_PACK,
     "curate_epoch_plan": SQL_EPOCH_PLAN,
+    "curate_dsir": SQL_DSIR,
 }

@@ -151,3 +151,72 @@ def test_blocklist_plan_broadcasts_rules(spark):
     plan = _plan(entry.queries()["web_blocklist_filter"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- curate_dsir ------------------------------------------------------------
+
+
+def test_dsir_matches_pure_python_replay(spark, tmp_path):
+    """Independent replica of the whole weight pipeline (hashlib.md5
+    buckets, integer floor division) on crafted docs — every doc's
+    score must match exactly, and a doc matching the target text must
+    outscore a disjoint one."""
+    import hashlib
+
+    from document_extraction_service_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_MOD,
+        DSIR_SCALE,
+    )
+
+    texts = {
+        0: "x y x y x y",        # target sample (0 % 17 == 0)
+        1: "x y x y x y",        # raw doc identical to target text
+        2: "p q r s t u",        # raw doc disjoint from target
+        3: "x y p q",            # mixed
+    }
+    sf = _mk_docs(spark, tmp_path, [texts[i] for i in sorted(texts)])
+
+    def grams(t):
+        w = t.split(" ")
+        if len(w) < 2:
+            return [t]
+        return [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bkt(g):
+        return (
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+        )
+
+    occ = {d: [bkt(g) for g in grams(t)] for d, t in texts.items()}
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for d, bs in occ.items():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if d % DSIR_MOD == 0:
+                ct[b] = ct.get(b, 0) + 1
+    R = sum(cr.values())
+    T = sum(ct.values())
+    w = {
+        b: (DSIR_SCALE * ct.get(b, 0) * R) // max(T * cr[b], 1) for b in cr
+    }
+    want = {
+        d: (len(bs), sum(w[b] for b in bs) // len(bs))
+        for d, bs in occ.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in entry.queries()["curate_dsir"](spark, sf).collect()
+    }
+    assert got == want
+    assert got[1][1] > got[2][1]  # target-like beats disjoint
+    assert got[1][1] > got[3][1] > got[2][1]  # mixed in between
+
+
+def test_dsir_weight_join_is_broadcast(spark):
+    """The <=8192-row weight table must broadcast into the scoring
+    join; the bucketed occurrence stream never shuffles for it."""
+    plan = _plan(entry.queries()["curate_dsir"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
