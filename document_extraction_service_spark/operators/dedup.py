@@ -1464,6 +1464,149 @@ FROM hits
 """
 
 
+SEM_K = 8          # centroid count; production scales this ~n/avg_cluster
+SEM_KEEP_LOWEST = True  # SemDeDup keep-policy: lowest centroid similarity
+
+
+def semantic_assign(e: DataFrame, k: int = SEM_K) -> DataFrame:
+    """Nearest-centroid assignment for SemDeDup (Abbas et al. 2023,
+    'SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication'): every vector is scored against k centroids and
+    assigned to its argmax-cosine centroid.
+
+    Centroids here are the k lowest-vec_id corpus vectors — a
+    DETERMINISTIC seed-centroid stand-in for the paper's k-means step
+    (iterated float k-means is not cross-engine oracle-able; the
+    assignment/blocking plan is identical whatever produces the k
+    centroid rows, so production swaps in real k-means output).
+
+    Scale shape: the centroid table is k rows and BROADCASTS; scoring
+    is a map-side broadcast nested loop producing only (vec_id,
+    cent_id, cent_sim) longs — the vectors are dropped before the
+    argmax shuffle, so the one shuffle moves 3 longs x n x k.  The
+    argmax window partitions by vec_id over exactly k rows.
+    Deterministic: cent_sim is fixed-point floor(cos*1e6) BIGINT
+    (cross-engine float argmax would flake at ulp ties — CLAUDE.md
+    gotcha #23 family), ties break on cent_id asc."""
+    from pyspark.sql import Window
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", dv.alias("v"))
+    cents = (
+        v.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    sim = F.floor(_pair_cos(F.col("v"), F.col("cv")) * 1e6).cast("long")
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", sim.alias("cent_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "cent_sim")
+    )
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: semantic near-duplicate removal over embeddings with
+    centroid blocking and a diversity-preserving keep-policy.  Pipeline:
+    (1) assign every vector to its nearest of SEM_K centroids
+    (semantic_assign), (2) within each centroid cluster emit exact
+    cosine pairs >= EMB_COS_THRESHOLD via the capped-postings double
+    explode (pair space <= k * EMB_BLOCK_CAP^2, never n^2), (3)
+    connected components collapse transitive duplicate chains, (4) per
+    component KEEP the member with the LOWEST centroid similarity —
+    the paper's policy: duplicates near the centroid are redundant
+    with the cluster mass, the outlier carries the most marginal
+    information.  Contrast dedup_keep_best (quality argmax) and
+    dedup_embedding_cosine (label blocking, no keep-policy).
+
+    Scale shape: assignment is broadcast-map (k rows); the pair stage
+    reuses the bounded-postings construction; CC shuffles only longs;
+    the keep window partitions by cluster_id, bounded by the capped
+    pair space.  Output: one row per duplicate-cluster member.
+    Oracle: full SQL mirror (recursive-CTE closure, same fixed-point
+    centroid sims)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign = semantic_assign(e)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", dv.alias("v"))
+    posts = (
+        assign.join(v, "vec_id")
+        .groupBy("cent_id")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= EMB_BLOCK_CAP))
+    )
+    pairs = (
+        posts.select(F.explode("docs").alias("a"), "docs")
+        .select(
+            "a",
+            F.explode(
+                F.filter("docs", lambda d: d["vec_id"] > F.col("a.vec_id"))
+            ).alias("b"),
+        )
+    )
+    cos = _pair_cos(F.col("a.v"), F.col("b.v"))
+    verified = pairs.filter(cos >= EMB_COS_THRESHOLD).select(
+        F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+    )
+    cc = connected_components(verified)
+    j = cc.join(
+        assign, cc.doc_id == assign.vec_id
+    ).select("vec_id", "cent_id", "cent_sim", "cluster_id", "cluster_size")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("cent_sim"), F.asc("vec_id")
+    )
+    return j.withColumn("keep", F.row_number().over(w) == 1)
+
+
+_SQL_SEM_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+SQL_SEMANTIC = f"""
+WITH RECURSIVE
+vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM vv ORDER BY vec_id LIMIT {SEM_K}),
+scored AS (SELECT vec_id, cent_id,
+                  CAST(FLOOR({_SQL_SEM_COS.format(a="v", b="cv")} * 1e6) AS BIGINT) AS cent_sim
+           FROM vv CROSS JOIN c),
+assign AS (SELECT vec_id, cent_id, cent_sim FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cent_sim DESC, cent_id ASC) AS rn
+             FROM scored)
+           WHERE rn = 1),
+ok AS (SELECT cent_id FROM assign GROUP BY cent_id
+       HAVING COUNT(*) BETWEEN 2 AND {EMB_BLOCK_CAP}),
+p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN ok ON ok.cent_id = a.cent_id
+      JOIN vv va ON va.vec_id = a.vec_id
+      JOIN vv vb ON vb.vec_id = b.vec_id
+      WHERE {_SQL_SEM_COS.format(a="va.v", b="vb.v")} >= {EMB_COS_THRESHOLD}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+r AS (SELECT u, v FROM e
+      UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+lbl AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id FROM r GROUP BY u),
+sized AS (SELECT vec_id, cluster_id,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM lbl)
+SELECT s.vec_id, a.cent_id, a.cent_sim, s.cluster_id, s.cluster_size,
+       ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                          ORDER BY a.cent_sim ASC, s.vec_id ASC) = 1 AS keep
+FROM sized s JOIN assign a USING (vec_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1482,6 +1625,7 @@ QUERIES = {
     "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_lines": dedup_lines,
     "dedup_bloom": dedup_bloom,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLES = {
@@ -1496,6 +1640,7 @@ ORACLES = {
     "dedup_cluster_stats": SQL_CLUSTER_STATS,
     "dedup_lines": SQL_LINES,
     "dedup_bloom": _sql_bloom(),
+    "dedup_semantic": SQL_SEMANTIC,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based -> pinned-replay
     # oracles built in __spark_entry__ from tests/golden/sketch_invariants.json
 }

@@ -240,3 +240,55 @@ def test_mixture_rate_table_is_broadcast(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- dedup_semantic ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def semantic_rows(spark):
+    return entry.queries()["dedup_semantic"](spark, SF_DIR).collect()
+
+
+def test_semantic_exactly_one_keep_per_cluster(semantic_rows):
+    by_cluster = {}
+    for r in semantic_rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(by_cluster) >= 1
+    for members in by_cluster.values():
+        assert sum(m["keep"] for m in members) == 1
+        assert len(members) == members[0]["cluster_size"]
+
+
+def test_semantic_keep_is_lowest_centroid_similarity(semantic_rows):
+    """SemDeDup's keep-policy: within a duplicate component the
+    survivor is the member FARTHEST from the centroid (lowest
+    cent_sim; ties on vec_id) — the outlier carries the most marginal
+    information, near-centroid copies are redundant with the cluster
+    mass."""
+    by_cluster = {}
+    for r in semantic_rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        best = min(members, key=lambda m: (m["cent_sim"], m["vec_id"]))
+        kept = [m for m in members if m["keep"]][0]
+        assert kept["vec_id"] == best["vec_id"]
+
+
+def test_semantic_pairs_share_centroid(semantic_rows):
+    """Centroid blocking: a duplicate component never spans centroid
+    clusters (pairs are generated within-centroid only)."""
+    by_cluster = {}
+    for r in semantic_rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        assert len({m["cent_id"] for m in members}) == 1
+
+
+def test_semantic_centroid_table_broadcasts(spark):
+    """The assignment stage must broadcast the k-row centroid table:
+    scoring is a map-side broadcast join, never a shuffle of the
+    corpus vectors against centroids."""
+    df = entry.queries()["dedup_semantic"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
