@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "corpus_drift",
     "web_blocklist_filter",
     "curate_dsir",
+    "dedup_semantic",
+    "text_ppl_buckets",
 ]
 
 

@@ -762,6 +762,80 @@ LIMIT {DRIFT_TOP}
 """
 
 
+# --- perplexity-band bucketing (CCNet head/middle/tail) ---------------------
+PPL_BINS = 1024   # histogram resolution; band edges are bin-granular
+
+
+def text_ppl_buckets(spark, sf_dir):
+    """(doc_id, lm_score, bin, band): CCNet-style corpus partitioning
+    (Wenzek et al. 2020, 'CCNet: Extracting high quality monolingual
+    datasets from web crawl data') — rank every document by language-
+    model score and split the corpus into three equal-count bands:
+    'head' (best-scored third, lowest perplexity), 'middle', 'tail'.
+    Downstream pipelines train on head+middle or reweight by band.
+
+    Scale shape — the histogram-quantile pattern, NOT a global sort:
+    (1) per-doc scores come from text_lm_score (one agg); (2) scores
+    quantize into <=PPL_BINS fixed-width integer bins via one pure-map
+    expression; (3) the band rule is computed on the <=PPL_BINS-row
+    (bin, cnt) table — its single-partition cumulative window is
+    bounded by construction (the engine-wide bounded-window contract),
+    with the corpus total cross-joined as a broadcast one-row table;
+    (4) the <=PPL_BINS-row (bin, band) map BROADCASTS back onto docs.
+    No document-level sort or document-level window anywhere, so the
+    plan is identical at 10^11 docs.  Band boundaries are therefore
+    bin-granular (docs inside one bin share a band; CCNet itself uses
+    sampled percentiles — same tolerance).  Deterministic: integer
+    bin/cum arithmetic only, no float compares (CLAUDE.md gotcha #23
+    family)."""
+    from pyspark.sql import Window
+
+    s = text_lm_score(spark, sf_dir).select(
+        "doc_id", "lm_score",
+        F.expr(f"(lm_score * {PPL_BINS}) div {LM_SCALE + 1}").alias("bin"),
+    )
+    bins = s.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    total = s.agg(F.count(F.lit(1)).alias("n"))
+    # cum_prev = docs in strictly HIGHER-score bins (better = head);
+    # unpartitioned window is over the <=PPL_BINS-row bin table only
+    wb = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    banded = (
+        bins.crossJoin(F.broadcast(total))
+        .withColumn("cum_prev", F.coalesce(F.sum("cnt").over(wb), F.lit(0)))
+        .withColumn(
+            "band",
+            F.when(F.col("cum_prev") * 3 < F.col("n"), "head")
+            .when(F.col("cum_prev") * 3 < 2 * F.col("n"), "middle")
+            .otherwise("tail"),
+        )
+        .select("bin", "band")
+    )
+    return s.join(F.broadcast(banded), "bin").select(
+        "doc_id", "lm_score", "bin", "band"
+    )
+
+
+SQL_PPL_BUCKETS = f"""
+WITH lm AS ({SQL_LM_SCORE}),
+s AS (SELECT doc_id, lm_score,
+             (lm_score * {PPL_BINS}) // {LM_SCALE + 1} AS bin FROM lm),
+bins AS (SELECT bin, COUNT(*) AS cnt FROM s GROUP BY bin),
+t AS (SELECT COUNT(*) AS n FROM s),
+banded AS (SELECT bin, n,
+                  COALESCE(SUM(cnt) OVER (ORDER BY bin DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_prev
+           FROM bins CROSS JOIN t)
+SELECT s.doc_id, s.lm_score, s.bin,
+       CASE WHEN cum_prev * 3 < n THEN 'head'
+            WHEN cum_prev * 3 < 2 * n THEN 'middle'
+            ELSE 'tail' END AS band
+FROM s JOIN banded USING (bin)
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -774,6 +848,7 @@ QUERIES = {
     "text_rarity": text_rarity,
     "text_lm_score": text_lm_score,
     "corpus_drift": corpus_drift,
+    "text_ppl_buckets": text_ppl_buckets,
 }
 
 ORACLES = {
@@ -788,4 +863,5 @@ ORACLES = {
     "text_rarity": SQL_RARITY,
     "text_lm_score": SQL_LM_SCORE,
     "corpus_drift": SQL_DRIFT,
+    "text_ppl_buckets": SQL_PPL_BUCKETS,
 }

@@ -220,3 +220,45 @@ def test_dsir_weight_join_is_broadcast(spark):
     plan = _plan(entry.queries()["curate_dsir"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- text_ppl_buckets -------------------------------------------------------
+
+
+def test_ppl_buckets_band_ordering_and_balance(spark):
+    """Every head doc must score >= every middle doc, middle >= tail
+    (band edges are bin-granular, so equality can only occur INSIDE a
+    shared bin — which the bin-to-band map makes impossible across
+    bands), and each band holds roughly a third of the corpus (exact
+    thirds up to bin granularity)."""
+    rows = entry.queries()["text_ppl_buckets"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(r)
+    assert set(by_band) == {"head", "middle", "tail"}
+    assert min(r["lm_score"] for r in by_band["head"]) >= max(
+        r["lm_score"] for r in by_band["middle"]
+    )
+    assert min(r["lm_score"] for r in by_band["middle"]) >= max(
+        r["lm_score"] for r in by_band["tail"]
+    )
+    # bin-granular thirds: each band within [n/3 - max_bin, n/3 + max_bin]
+    max_bin = max(
+        len([r for r in rows if r["bin"] == b]) for b in {r["bin"] for r in rows}
+    )
+    for band, members in by_band.items():
+        assert abs(len(members) - n / 3) <= max_bin, (band, len(members))
+
+
+def test_ppl_buckets_no_document_level_window(spark):
+    """The scale contract: banding must come from the bounded bin
+    table broadcast back onto docs — no document-level global sort or
+    rank (a WindowExec over the doc stream would be the give-away)."""
+    df = entry.queries()["text_ppl_buckets"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only Sort allowed over the full doc relation is none at all:
+    # document rows reach the final join via hash partitioning only
+    assert "rangepartitioning" not in plan.lower()
