@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "curate_dsir",
     "dedup_semantic",
     "text_ppl_buckets",
+    "web_distinct_hll",
+    "web_recrawl_schedule",
 ]
 
 

@@ -532,6 +532,242 @@ FROM j GROUP BY doc_id, host
 """
 
 
+# --- sketch-based distinct counting (HyperLogLog) ---------------------------
+# The crawl-ops question "how many distinct canonical urls per host?"
+# is COUNT(DISTINCT ...) — at 10^12 rows an exact distinct shuffles
+# every key.  HyperLogLog (Flajolet et al. 2007) answers it with a
+# fixed m-register sketch whose per-host state is <= m small ints and
+# whose merge is a MAX — i.e. one map-side-combinable aggregation.
+#
+# Everything is integer fixed-point so the oracle is bit-exact
+# (CLAUDE.md gotcha #23): rho uses the trailing-zeros-of-suffix form
+# (same geometric distribution as leading zeros) computed with pure
+# bit arithmetic — bit_count((rest & -rest) - 1) — and the two float
+# constants of the estimator (alpha_m, the linear-counting table
+# m*ln(m/V)) are precomputed in PYTHON and embedded as identical
+# integer literals in both engines' expressions.
+HLL_M = 64            # registers (6 index bits); std error ~ 1.04/sqrt(m)
+HLL_RMAX = 32         # rho cap; keeps every 2^(RMAX-rho) term in BIGINT
+HLL_ALPHA_SCALE = 100_000
+
+import math as _math  # noqa: E402  (module-local, avoids header churn)
+
+HLL_ALPHA = _math.floor(0.7213 / (1 + 1.079 / HLL_M) * HLL_ALPHA_SCALE)
+# numerator alpha_s * m^2 * 2^RMAX = 1.25e18 < 2^63 by construction
+_HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_RMAX)
+_HLL_LC = {v: round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)}
+
+
+def _hll_est_sql(vcol: str, rawcol: str) -> str:
+    """Estimator CASE (same text in Spark expr and DuckDB SQL): linear
+    counting below the 2.5m small-range threshold when empty registers
+    exist, raw HLL otherwise."""
+    branches = " ".join(f"WHEN {v} THEN {e}" for v, e in _HLL_LC.items())
+    return (
+        f"CAST(CASE WHEN {rawcol} < {5 * HLL_M // 2} AND {vcol} > 0 "
+        f"THEN (CASE {vcol} {branches} ELSE {rawcol} END) "
+        f"ELSE {rawcol} END AS BIGINT)"
+    )
+
+
+def web_distinct_hll(spark, sf_dir):
+    """(host, n_urls, reg_zeros, hll_raw, hll_est): HyperLogLog
+    distinct-canonical-url count per host over the colliding-url
+    table, with the exact COUNT(DISTINCT) alongside so the sketch
+    self-evidences its accuracy (the dedup_bloom pattern — production
+    drops the exact column; it exists here because the whole point of
+    the result is that hll_est tracks n_urls).
+
+    Scale shape: hashing + register derivation is a pure map; the
+    sketch is ONE (host, reg) hash agg with map-side combine (<= m
+    rows per host ever cross the wire, however many urls the host
+    has); the register grid joins off the distinct-host table (m rows
+    per host, linear); the estimator is per-host arithmetic.  The
+    exact-distinct column is the only part that shuffles url keys —
+    drop it and the plan never moves a url after the map stage.
+    Deterministic: md5-derived 60-bit hashes, integer-only estimator
+    (see module comment)."""
+    u = _variant_urls(spark, sf_dir)
+    c = u.select(
+        host_of(F.col("url")).alias("host"),
+        canonicalize(F.col("url")).alias("curl"),
+    )
+    t = c.select(
+        "host",
+        F.conv(F.substring(F.md5("curl"), 1, 15), 16, 10)
+        .cast("long").alias("h"),
+    ).select(
+        "host",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    )
+    rho = F.expr(
+        f"least(bit_count((rest & -rest) - 1) + 1, {HLL_RMAX})"
+    ).alias("rho")
+    regs = (
+        t.select("host", "reg", rho)
+        .groupBy("host", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    grid = (
+        c.select("host").distinct()
+        .select(
+            "host",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(HLL_M - 1).cast("long"))
+            ).alias("reg"),
+        )
+    )
+    agg = (
+        grid.join(regs, ["host", "reg"], "left")
+        .select("host", F.coalesce("mr", F.lit(0)).alias("mr"))
+        .groupBy("host")
+        .agg(
+            F.expr(
+                f"sum(shiftleft(cast(1 as bigint), "
+                f"cast({HLL_RMAX} - mr as int)))"
+            ).alias("zp"),
+            F.sum((F.col("mr") == 0).cast("long")).alias("reg_zeros"),
+        )
+        .withColumn(
+            "hll_raw",
+            F.expr(f"({_HLL_NUM} div zp) div {HLL_ALPHA_SCALE}"),
+        )
+        .withColumn("hll_est", F.expr(_hll_est_sql("reg_zeros", "hll_raw")))
+    )
+    exact = c.groupBy("host").agg(F.countDistinct("curl").alias("n_urls"))
+    return exact.join(agg, "host").select(
+        "host", "n_urls", "reg_zeros", "hll_raw", "hll_est"
+    )
+
+
+def _sql_hll() -> str:
+    hex60 = "CAST('0x' || substr(md5(curl), 1, 15) AS BIGINT)"
+    return f"""
+WITH chain AS ({_sql_canonical_chain(_SQL_VARIANTS)}),
+c AS (SELECT host, canonical_url AS curl FROM chain),
+t AS (SELECT host, {hex60} % {HLL_M} AS reg, {hex60} // {HLL_M} AS rest
+      FROM c),
+r AS (SELECT host, reg,
+             LEAST(bit_count((rest & -rest) - 1) + 1, {HLL_RMAX}) AS rho
+      FROM t),
+mx AS (SELECT host, reg, MAX(rho) AS mr FROM r GROUP BY host, reg),
+grid AS (SELECT host, g.range AS reg
+         FROM (SELECT DISTINCT host FROM c) CROSS JOIN range(0, {HLL_M}) g),
+fl AS (SELECT grid.host, grid.reg, COALESCE(mx.mr, 0) AS mr
+       FROM grid LEFT JOIN mx ON grid.host = mx.host AND grid.reg = mx.reg),
+agg AS (SELECT host,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_RMAX} - mr AS INTEGER))
+                    AS BIGINT) AS zp,
+               CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS reg_zeros
+        FROM fl GROUP BY host),
+rawq AS (SELECT host, reg_zeros,
+                CAST(({_HLL_NUM} // zp) // {HLL_ALPHA_SCALE} AS BIGINT)
+                  AS hll_raw
+         FROM agg),
+ex AS (SELECT host, COUNT(DISTINCT curl) AS n_urls FROM c GROUP BY host)
+SELECT ex.host, n_urls, reg_zeros, hll_raw,
+       {_hll_est_sql("reg_zeros", "hll_raw")} AS hll_est
+FROM ex JOIN rawq ON ex.host = rawq.host
+"""
+
+
+# --- recrawl scheduling -----------------------------------------------------
+# A continuous crawler revisits hosts in proportion to how often their
+# pages change (Cho & Garcia-Molina 2003, 'Effective page refresh
+# policies for web crawlers'): estimate a per-host change rate from
+# the fetch history, map it to a revisit tier, and emit the next due
+# time.  The events table stands in for the fetch log (each event =
+# one fetch; a 'purchase' event = the fetched page had changed —
+# deterministic stand-ins, same rule in the oracle).
+RECRAWL_RATE_SCALE = 1_000_000   # change rate in parts-per-million
+# (tier, min change-rate ppm, revisit interval in microseconds)
+RECRAWL_TIERS = (
+    ("hourly", 500_000, 3_600_000_000),
+    ("daily", 200_000, 86_400_000_000),
+    ("weekly", 50_000, 604_800_000_000),
+    ("monthly", 0, 2_592_000_000_000),
+)
+
+
+def _recrawl_tier_sql(ratecol: str) -> str:
+    parts = " ".join(
+        f"WHEN {ratecol} >= {lo} THEN '{name}'"
+        for name, lo, _ in RECRAWL_TIERS[:-1]
+    )
+    return f"CASE {parts} ELSE '{RECRAWL_TIERS[-1][0]}' END"
+
+
+def _recrawl_interval_sql(tiercol: str) -> str:
+    parts = " ".join(
+        f"WHEN '{name}' THEN CAST({us} AS BIGINT)"
+        for name, _, us in RECRAWL_TIERS
+    )
+    return f"CASE {tiercol} {parts} END"
+
+
+def web_recrawl_schedule(spark, sf_dir):
+    """(host, n_fetches, n_changes, change_rate_ppm, tier,
+    last_fetch_us, next_due_us): per-host recrawl plan from the fetch
+    log — fixed-point change-rate estimate, tier lookup, next due
+    time off the last fetch.
+
+    Scale shape: ONE hash agg over the fetch log with map-side combine
+    (count/sum/max all combine); everything after is per-host
+    arithmetic on the bounded host table.  Timestamps go through
+    unix_micros(cast(ts as timestamp)) (TIMESTAMP_NTZ has no direct
+    long cast in Spark 4 — CLAUDE.md gotcha #8; DuckDB mirrors with
+    epoch_us).  Deterministic: integer rate + threshold tiers, no
+    float anywhere."""
+    e = _t(spark, sf_dir, "events")
+    f0 = e.select(
+        F.concat(
+            F.lit("site"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        (F.col("event_type") == "purchase").cast("long").alias("chg"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    a = f0.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("chg").alias("n_changes"),
+        F.max("us").alias("last_fetch_us"),
+    )
+    r = a.withColumn(
+        "change_rate_ppm",
+        F.expr(f"({RECRAWL_RATE_SCALE} * n_changes) div n_fetches"),
+    ).withColumn("tier", F.expr(_recrawl_tier_sql("change_rate_ppm")))
+    return r.select(
+        "host", "n_fetches", "n_changes", "change_rate_ppm", "tier",
+        "last_fetch_us",
+        (
+            F.col("last_fetch_us")
+            + F.expr(_recrawl_interval_sql("tier"))
+        ).alias("next_due_us"),
+    )
+
+
+def _sql_recrawl() -> str:
+    return f"""
+WITH f AS (SELECT 'site' || CAST(user_id % 20 AS VARCHAR) || '.example.com'
+             AS host,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS chg,
+           epoch_us(ts) AS us
+           FROM events),
+a AS (SELECT host, COUNT(*) AS n_fetches,
+             CAST(SUM(chg) AS BIGINT) AS n_changes,
+             MAX(us) AS last_fetch_us
+      FROM f GROUP BY host),
+r AS (SELECT *, ({RECRAWL_RATE_SCALE} * n_changes) // n_fetches
+               AS change_rate_ppm FROM a),
+t AS (SELECT *, {_recrawl_tier_sql("change_rate_ppm")} AS tier FROM r)
+SELECT host, n_fetches, n_changes, change_rate_ppm, tier, last_fetch_us,
+       last_fetch_us + {_recrawl_interval_sql("tier")} AS next_due_us
+FROM t
+"""
+
+
 QUERIES = {
     "web_url_canonicalize": web_url_canonicalize,
     "web_host_rollup": web_host_rollup,
@@ -539,6 +775,8 @@ QUERIES = {
     "web_host_quality": web_host_quality,
     "web_host_pagerank": web_host_pagerank,
     "web_blocklist_filter": web_blocklist_filter,
+    "web_distinct_hll": web_distinct_hll,
+    "web_recrawl_schedule": web_recrawl_schedule,
 }
 ORACLES = {
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
@@ -547,4 +785,6 @@ ORACLES = {
     "web_host_quality": _sql_host_quality(),
     "web_host_pagerank": _sql_pagerank(),
     "web_blocklist_filter": SQL_BLOCKLIST,
+    "web_distinct_hll": _sql_hll(),
+    "web_recrawl_schedule": _sql_recrawl(),
 }
