@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "text_ppl_buckets",
     "web_distinct_hll",
     "web_recrawl_schedule",
+    "web_crawl_depth",
 ]
 
 

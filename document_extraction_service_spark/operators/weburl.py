@@ -768,6 +768,76 @@ FROM t
 """
 
 
+# --- crawl-frontier BFS -----------------------------------------------------
+CRAWL_SEEDS = (0, 5)    # seed hosts for frontier expansion
+MAX_BFS_ITERS = 25      # > any possible diameter of the 20-host graph
+
+
+def web_crawl_depth(spark, sf_dir):
+    """(host, depth): minimum link distance from the crawl seeds over
+    the host graph — the frontier-expansion primitive of a BFS
+    crawler (seed list -> hop-1 hosts -> hop-2 ...), also the
+    'crawl depth' feature quality pipelines cut on (deep hosts are
+    disproportionately spam).
+
+    Scale shape — DELTA-FRONTIER BFS, not whole-graph relaxation:
+    each iteration joins only the CURRENT FRONTIER (hosts settled
+    last round) against the edge list, anti-joins out already-settled
+    hosts, and unions the survivors in; per-iteration shuffle is
+    O(frontier out-degree), never O(graph), and iterations stop the
+    round the frontier empties (driver sync = one count per round,
+    the pagerank/CC convergence pattern; localCheckpoint truncates
+    lineage so the plan does not grow with depth).  Unreachable hosts
+    are absent from the output (no sentinel).  Deterministic: depth
+    is the iteration index — min distance by construction.  Oracle:
+    recursive-CTE shortest path with the same depth bound."""
+    d = _t(spark, sf_dir, "documents")
+    edges = (
+        _host_edges(d).select("src", "dst").distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .filter(F.col("host").isin(*CRAWL_SEEDS))
+        .select("host", F.lit(0).cast("long").alias("depth"))
+        .localCheckpoint(eager=True)
+    )
+    settled = seeds
+    frontier = seeds
+    for i in range(1, MAX_BFS_ITERS + 1):
+        nxt = (
+            frontier.join(edges, frontier.host == edges.src)
+            .select(F.col("dst").alias("host"))
+            .distinct()
+            .join(settled, "host", "left_anti")
+            .select("host", F.lit(i).cast("long").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver sync: one count per BFS layer
+        if nxt.count() == 0:
+            break
+        settled = settled.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled
+
+
+SQL_CRAWL_DEPTH = f"""
+WITH RECURSIVE
+eset AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS src,
+                CAST((doc_id % 20 + 1 + doc_id % 7) % 20 AS BIGINT) AS dst
+         FROM documents),
+hosts AS (SELECT src AS host FROM eset UNION SELECT dst FROM eset),
+r AS (SELECT host, 0 AS depth FROM hosts
+      WHERE host IN {CRAWL_SEEDS}
+      UNION
+      SELECT e.dst, r.depth + 1 FROM r JOIN eset e ON e.src = r.host
+      WHERE r.depth < {MAX_BFS_ITERS})
+SELECT host, CAST(MIN(depth) AS BIGINT) AS depth FROM r GROUP BY host
+"""
+
+
 QUERIES = {
     "web_url_canonicalize": web_url_canonicalize,
     "web_host_rollup": web_host_rollup,
@@ -777,6 +847,7 @@ QUERIES = {
     "web_blocklist_filter": web_blocklist_filter,
     "web_distinct_hll": web_distinct_hll,
     "web_recrawl_schedule": web_recrawl_schedule,
+    "web_crawl_depth": web_crawl_depth,
 }
 ORACLES = {
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
@@ -787,4 +858,5 @@ ORACLES = {
     "web_blocklist_filter": SQL_BLOCKLIST,
     "web_distinct_hll": _sql_hll(),
     "web_recrawl_schedule": _sql_recrawl(),
+    "web_crawl_depth": SQL_CRAWL_DEPTH,
 }

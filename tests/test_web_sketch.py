@@ -87,3 +87,62 @@ def test_recrawl_single_combine_agg(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowExec" not in plan
+
+
+# --- web_crawl_depth --------------------------------------------------------
+
+
+def test_crawl_depth_is_min_hop_distance(spark):
+    """Replay the BFS in pure Python over the same deterministic graph
+    and require exact hop distances (seeds at 0, unreachable absent)."""
+    import duckdb
+
+    from document_extraction_service_spark.operators.weburl import (
+        CRAWL_SEEDS,
+    )
+
+    rows = {r["host"]: r["depth"]
+            for r in entry.queries()["web_crawl_depth"](spark, SF_DIR).collect()}
+    edges = duckdb.sql(
+        "SELECT DISTINCT CAST(doc_id % 20 AS BIGINT), "
+        "CAST((doc_id % 20 + 1 + doc_id % 7) % 20 AS BIGINT) "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    dist = {s: 0 for s in CRAWL_SEEDS}
+    frontier = set(CRAWL_SEEDS)
+    depth = 0
+    while frontier:
+        depth += 1
+        frontier = {
+            t for s in frontier for t in adj.get(s, ())
+        } - dist.keys()
+        for t in frontier:
+            dist[t] = depth
+    assert rows == dist
+
+
+def test_crawl_depth_frontier_layer_shape(spark):
+    """Plan contract for ONE BFS layer (the returned DF is a
+    checkpointed scan, so assert on the layer construction itself):
+    the frontier joins the edge list and the settled set is touched
+    only by an anti-join — no full-graph relaxation join."""
+    from pyspark.sql import functions as F
+
+    from document_extraction_service_spark.operators.weburl import (
+        _host_edges,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = _host_edges(d).select("src", "dst").distinct()
+    seeds = edges.select(F.col("src").alias("host")).distinct().limit(2)
+    layer = (
+        seeds.join(edges, seeds.host == edges.src)
+        .select(F.col("dst").alias("host"))
+        .distinct()
+        .join(seeds, "host", "left_anti")
+    )
+    plan = _plan(layer)
+    assert "LeftAnti" in plan
