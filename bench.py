@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "web_distinct_hll",
     "web_recrawl_schedule",
     "web_crawl_depth",
+    "curate_gopher_rules",
+    "curate_c4_filters",
+    "text_bpe_merges",
 ]
 
 

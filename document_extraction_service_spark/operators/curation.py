@@ -790,6 +790,216 @@ GROUP BY doc_id
 """
 
 
+# --- Gopher quality rules ---------------------------------------------------
+# The published Gopher ruleset (Rae et al. 2022, 'Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher', table
+# A1), re-expressed with INTEGER-ONLY threshold algebra so the oracle
+# is bit-exact: every ratio test  x/y <=> t  becomes  k*x <=> k*t*y
+# in BIGINTs (CLAUDE.md gotcha #23 family — no float division
+# anywhere).  Word-count bounds are scaled to this corpus (the paper
+# uses 50..100,000 on full web pages; the synthetic docs are 20..80
+# words, so the lower bound keeps its bite at 30).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+# the paper's list is (the, be, to, of, and, that, have, with); this
+# corpus' only closed-class words are 'the' and 'a', so they lead the
+# list to keep the >=2-distinct-stopwords rule binding (same rule,
+# corpus-appropriate lexicon — the GOPHER_MIN_WORDS adaptation note)
+GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def curate_gopher_rules(spark, sf_dir):
+    """(doc_id, n_words, r_wordcount, r_meanlen, r_symbol, r_bullet,
+    r_ellipsis, r_alpha, r_stop, keep): per-rule pass flags for the
+    Gopher quality filter plus the conjunction — kept as SEPARATE
+    columns (not a single keep bit) because the per-rule pass rates
+    are what a corpus card reports and what threshold tuning needs.
+
+    Rules: word count in [min,max]; mean word length in [3,10] chars;
+    hash/ellipsis symbol ratio <= 0.1 per word; <= 90%% bullet-start
+    lines; <= 30%% ellipsis-end lines; >= 80%% words with an
+    alphabetic char; >= 2 distinct stop words.
+
+    Scale shape: pure map over one scan — every rule is codegen'd
+    string/array arithmetic on the row, zero shuffles, zero Python.
+    The words array is materialized ONCE as a column and HOF lambdas
+    only reference it (never re-derive it — gotcha #19)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("words"),
+        F.split(F.col("text"), "\n").alias("lines"),
+        F.col("text"),
+    )
+    n_words = F.size("words")
+    n_lines = F.size("lines")
+    word_chars = F.length(F.regexp_replace(F.col("text"), r"[ \n]", ""))
+    n_sym = F.size(F.expr(r"regexp_extract_all(text, '#|\\.\\.\\.|…', 0)"))
+    n_bullet = F.size(
+        F.filter("lines", lambda l: l.rlike(r"^[•\-\*]"))
+    )
+    n_ell = F.size(F.filter("lines", lambda l: l.rlike(r"(\.\.\.|…)$")))
+    n_alpha = F.size(F.filter("words", lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("words"),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return w.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS))
+        .alias("r_wordcount"),
+        ((word_chars >= 3 * n_words) & (word_chars <= 10 * n_words))
+        .alias("r_meanlen"),
+        (10 * n_sym <= n_words).alias("r_symbol"),
+        (10 * n_bullet <= 9 * n_lines).alias("r_bullet"),
+        (10 * n_ell <= 3 * n_lines).alias("r_ellipsis"),
+        (5 * n_alpha >= 4 * n_words).alias("r_alpha"),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("r_stop"),
+    ).withColumn(
+        "keep",
+        F.col("r_wordcount") & F.col("r_meanlen") & F.col("r_symbol")
+        & F.col("r_bullet") & F.col("r_ellipsis") & F.col("r_alpha")
+        & F.col("r_stop"),
+    )
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+
+SQL_GOPHER = f"""
+WITH w AS (SELECT doc_id, text,
+                  string_split(trim(text), ' ') AS words,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+m AS (SELECT doc_id,
+             len(words) AS n_words,
+             len(lines) AS n_lines,
+             length(regexp_replace(text, '[ \n]', '', 'g')) AS word_chars,
+             len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+             len(list_filter(lines, l -> regexp_matches(l, '^[•\\-\\*]')))
+               AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+               AS n_ell,
+             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_intersect(list_distinct(words), {_GOPHER_STOP_SQL}))
+               AS n_stop
+      FROM w)
+SELECT doc_id, n_words,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+         AS r_wordcount,
+       word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS r_meanlen,
+       10 * n_sym <= n_words AS r_symbol,
+       10 * n_bullet <= 9 * n_lines AS r_bullet,
+       10 * n_ell <= 3 * n_lines AS r_ellipsis,
+       5 * n_alpha >= 4 * n_words AS r_alpha,
+       n_stop >= {GOPHER_MIN_STOPWORDS} AS r_stop,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+         AND (10 * n_sym <= n_words)
+         AND (10 * n_bullet <= 9 * n_lines)
+         AND (10 * n_ell <= 3 * n_lines)
+         AND (5 * n_alpha >= 4 * n_words)
+         AND (n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
+# --- C4 filters -------------------------------------------------------------
+# The C4 cleaning rules (Raffel et al. 2020, 'Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer', §2.2):
+# keep only lines ending in terminal punctuation with >= 5 words and
+# no 'javascript'; drop any page containing 'lorem ipsum' or '{', or
+# retaining < 3 sentences.  The synthetic corpus is a flat word
+# stream, so a line-structured page is synthesized deterministically
+# first (the _variant_urls pattern): line j = words[6j..6j+5], with
+# the terminal '.' withheld when (doc_id + j) % 4 == 0, and the
+# page-kill triggers (lorem/brace) synthesized from doc_id — the
+# corpus carries no hostile strings of its own.  Same construction in
+# the oracle, so every rule is value-provable.
+C4_LINE_WORDS = 6
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def curate_c4_filters(spark, sf_dir):
+    """(doc_id, n_lines, n_kept, kept_chars, has_lorem, has_brace,
+    keep): per-page C4 filter outcome — line-level retention counts
+    plus the page-level kill flags and the final keep bit.
+
+    Scale shape: pure map over one scan — line synthesis, line
+    filtering and the page rules are all codegen'd array/string
+    expressions; zero shuffles, zero Python.  The words array is
+    materialized once as a column; HOF lambdas reference it and only
+    derive per-LINE scalars inside the lambda (gotcha #19 applies to
+    derived ARRAYS indexed per element, not scalar work on the
+    lambda variable)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("words")
+    )
+    n_lines = F.expr(f"(size(words) + {C4_LINE_WORDS - 1}) div {C4_LINE_WORDS}")
+    lines = F.expr(
+        f"transform(sequence(0, (size(words) + {C4_LINE_WORDS - 1})"
+        f" div {C4_LINE_WORDS} - 1),"
+        f" j -> array_join(slice(words, j * {C4_LINE_WORDS} + 1,"
+        f" {C4_LINE_WORDS}), ' ') ||"
+        f" CASE WHEN (doc_id + j) % 4 = 0 THEN '' ELSE '.' END)"
+    )
+    l = w.select("doc_id", n_lines.alias("n_lines"), lines.alias("lines"))
+    kept = F.filter(
+        "lines",
+        lambda x: x.endswith(".")
+        & (F.size(F.split(x, " ")) >= C4_MIN_LINE_WORDS)
+        & ~x.contains("javascript"),
+    )
+    k = l.select(
+        "doc_id", "n_lines",
+        F.size(kept).alias("n_kept"),
+        F.length(F.array_join(kept, "\n")).alias("kept_chars"),
+        (F.col("doc_id") % 97 == 0).alias("has_lorem"),
+        (F.col("doc_id") % 89 == 0).alias("has_brace"),
+    )
+    return k.withColumn(
+        "keep",
+        ~F.col("has_lorem") & ~F.col("has_brace")
+        & (F.col("n_kept") >= C4_MIN_SENTENCES),
+    )
+
+
+SQL_C4 = f"""
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+           FROM documents),
+l AS (SELECT doc_id,
+             (len(words) + {C4_LINE_WORDS - 1}) // {C4_LINE_WORDS} AS n_lines,
+             list_transform(
+               range(0, (len(words) + {C4_LINE_WORDS - 1}) // {C4_LINE_WORDS}),
+               j -> array_to_string(
+                      list_slice(words, j * {C4_LINE_WORDS} + 1,
+                                 j * {C4_LINE_WORDS} + {C4_LINE_WORDS}), ' ')
+                    || CASE WHEN (doc_id + j) % 4 = 0 THEN '' ELSE '.' END)
+               AS lines
+      FROM w),
+k AS (SELECT doc_id, n_lines,
+             list_filter(lines,
+               x -> x LIKE '%.'
+                    AND len(string_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
+                    AND NOT contains(x, 'javascript')) AS kept
+      FROM l)
+SELECT doc_id, n_lines, len(kept) AS n_kept,
+       -- array_to_string([]) is NULL in DuckDB (Spark: ''), hence COALESCE
+       COALESCE(length(array_to_string(kept, chr(10))), 0) AS kept_chars,
+       doc_id % 97 = 0 AS has_lorem,
+       doc_id % 89 = 0 AS has_brace,
+       (NOT doc_id % 97 = 0) AND (NOT doc_id % 89 = 0)
+         AND len(kept) >= {C4_MIN_SENTENCES} AS keep
+FROM k
+"""
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
@@ -801,6 +1011,8 @@ QUERIES = {
     "curate_pack_sequences": curate_pack_sequences,
     "curate_epoch_plan": curate_epoch_plan,
     "curate_dsir": curate_dsir,
+    "curate_gopher_rules": curate_gopher_rules,
+    "curate_c4_filters": curate_c4_filters,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
@@ -813,4 +1025,6 @@ ORACLES = {
     "curate_pack_sequences": SQL_PACK,
     "curate_epoch_plan": SQL_EPOCH_PLAN,
     "curate_dsir": SQL_DSIR,
+    "curate_gopher_rules": SQL_GOPHER,
+    "curate_c4_filters": SQL_C4,
 }

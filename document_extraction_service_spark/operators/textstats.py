@@ -836,6 +836,74 @@ FROM s JOIN banded USING (bin)
 """
 
 
+# --- BPE merge induction ----------------------------------------------------
+BPE_TOP = 32   # merge candidates emitted (the first BPE iteration's menu)
+
+
+def text_bpe_merges(spark, sf_dir):
+    """(pair, n, rank): the first byte-pair-encoding iteration at
+    corpus scale — adjacent character-pair frequencies, weighted by
+    word frequency, top-BPE_TOP as merge candidates (Sennrich et al.
+    2016, 'Neural Machine Translation of Rare Words with Subword
+    Units').  Tokenizer induction is a corpus-scale aggregation
+    problem before it is a modeling problem; this is the aggregation.
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD table
+    first (one combine-enabled agg; Zipf-bounded — vocabulary grows
+    ~sqrt of corpus), pairs explode over distinct words only with the
+    count as weight (never over the token stream), and the top-K is
+    the two-stage pattern (partition-local row_number, single-task
+    merge over <= K*P survivors — the text_lm_score contract).  The
+    pair lambda indexes a plain COLUMN, not a derived array (gotcha
+    #19).  Deterministic: ties break (n desc, pair asc)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = wc.select(
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("c").alias("n"))
+    local = pc.withColumn("part", F.spark_partition_id())
+    wl = Window.partitionBy("part").orderBy(F.desc("n"), F.asc("pair"))
+    cand = (
+        local.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= BPE_TOP)
+        .drop("part", "lr")
+    )
+    # single-task merge window, bounded at BPE_TOP * n_partitions rows
+    wg = Window.partitionBy().orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wg).cast("long"))
+        .filter(F.col("rank") <= BPE_TOP)
+        .select("pair", "n", "rank")
+    )
+
+
+SQL_BPE_MERGES = f"""
+WITH words AS (SELECT u.w
+               FROM (SELECT string_split(trim(text), ' ') AS t
+                     FROM documents), UNNEST(t) AS u(w)
+               WHERE length(u.w) >= 2),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+pairs AS (SELECT c, u.pair
+          FROM (SELECT c, list_transform(range(1, length(w)),
+                                         i -> substr(w, i, 2)) AS ps
+                FROM wc), UNNEST(ps) AS u(pair)),
+pc AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM pairs GROUP BY pair)
+SELECT pair, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+FROM pc ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -849,6 +917,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "corpus_drift": corpus_drift,
     "text_ppl_buckets": text_ppl_buckets,
+    "text_bpe_merges": text_bpe_merges,
 }
 
 ORACLES = {
@@ -864,4 +933,5 @@ ORACLES = {
     "text_lm_score": SQL_LM_SCORE,
     "corpus_drift": SQL_DRIFT,
     "text_ppl_buckets": SQL_PPL_BUCKETS,
+    "text_bpe_merges": SQL_BPE_MERGES,
 }

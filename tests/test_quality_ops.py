@@ -292,3 +292,52 @@ def test_semantic_centroid_table_broadcasts(spark):
     df = entry.queries()["dedup_semantic"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- curate_gopher_rules / curate_c4_filters / text_bpe_merges --------------
+
+
+def test_gopher_rules_are_pure_map(spark):
+    """The whole ruleset must run inside the scan's codegen stage —
+    any Exchange would mean a shuffle snuck into a per-row filter."""
+    df = entry.queries()["curate_gopher_rules"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_gopher_keep_is_conjunction_and_binds(spark):
+    rows = entry.queries()["curate_gopher_rules"](spark, SF_DIR).collect()
+    rules = ["r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+             "r_ellipsis", "r_alpha", "r_stop"]
+    for r in rows:
+        assert r["keep"] == all(r[k] for k in rules)
+    keeps = sum(r["keep"] for r in rows)
+    assert 0 < keeps < len(rows), keeps  # both outcomes occur
+
+
+def test_c4_filters_pure_map_and_consistent(spark):
+    df = entry.queries()["curate_c4_filters"](spark, SF_DIR)
+    assert "Exchange" not in _plan(df)
+    rows = df.collect()
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_lines"]
+        assert (r["kept_chars"] == 0) == (r["n_kept"] == 0)
+        if r["keep"]:
+            assert (not r["has_lorem"] and not r["has_brace"]
+                    and r["n_kept"] >= 3)
+    keeps = sum(r["keep"] for r in rows)
+    assert 0 < keeps < len(rows)
+
+
+def test_bpe_merges_ranked_and_bounded(spark):
+    from document_extraction_service_spark.operators.textstats import (
+        BPE_TOP,
+    )
+
+    rows = entry.queries()["text_bpe_merges"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == BPE_TOP
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
