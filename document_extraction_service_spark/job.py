@@ -87,7 +87,7 @@ def input_fingerprint(spec: str, n_buckets: int = DEFAULT_BUCKETS) -> str:
     h = hashlib.md5(f"{spec}|B={n_buckets}".encode())
     if spec.startswith("synthetic:"):
         return h.hexdigest()
-    if spec.startswith(("warc:", "jsonl:", "wet:")):
+    if spec.startswith(("warc:", "jsonl:", "wet:", "wds:")):
         # fingerprint the files the glob resolves to (sorted -> stable)
         import glob as _glob
 
@@ -150,6 +150,26 @@ def read_pages(spark: SparkSession, spec: str, partitions: int | None = None) ->
             F.lit(None).cast("binary").alias("html"),
             "text",
             F.lit(None).cast("string").alias("lang"),
+        )
+    if spec.startswith("wds:"):
+        # WebDataset tar shards carry extracted text (a training
+        # export): rows re-enter as null-html pages on the same
+        # text-fallback path as wet: — export -> re-ingest closes
+        # through the job CLI for BOTH crawl-native formats.
+        from .sources.webdataset import read_webdataset
+
+        d = read_webdataset(spark, spec.split(":", 1)[1])
+        return d.select(
+            F.concat(
+                F.lit("wds://"),
+                F.coalesce(F.col("source"), F.lit("shard")),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
         )
     if is_bucketed_input(spec):
         return spark.read.schema(bucketed_pages_schema()).parquet(spec)

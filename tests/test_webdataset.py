@@ -133,3 +133,35 @@ def test_listing_scan_prunes_content(spark, tmp_path):
         .toString()
     )
     assert "ReadSchema: struct<path:string>" in plan
+
+
+def test_job_runs_end_to_end_from_wds_input(spark, tmp_path):
+    """`wds:<glob>` is a first-class job input: exported tar shards
+    re-enter as null-html pages, ride the text-fallback extraction,
+    and resume works off the shard fingerprints — export -> re-ingest
+    closes through the job CLI (the wet: twin for the training-export
+    format)."""
+    from document_extraction_service_spark.job import run_job
+
+    n = 40
+    wds_dir = str(tmp_path / "shards")
+    # the manifest is the write's action — collect() materializes it
+    write_webdataset(_docs(spark, n), wds_dir, docs_per_shard=16).collect()
+
+    spec = f"wds:{wds_dir}/*.tar"
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    m1 = run_job(spark, spec, out, lin, run_id="wds1", n_buckets=8)
+    assert m1["n_rows"] == n and m1["n_ok"] == n
+    assert m1["n_fallback"] == n  # every row rode the text path
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out)
+        .select("url", "extraction.extracted_text")
+        .collect()
+    }
+    assert len(got) == n
+    for i in range(n):
+        assert got[f"wds://host{i % 3}/{i}"] == f"document {i} text with unicode é中"
+    m2 = run_job(spark, spec, out, lin, run_id="wds1", n_buckets=8,
+                 resume=True)
+    assert m2["n_rows"] == 0 and len(m2["skipped_buckets"]) > 0
