@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "curate_gopher_rules",
     "curate_c4_filters",
     "text_bpe_merges",
+    "media_phash_dedup",
 ]
 
 

@@ -475,10 +475,153 @@ def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_resize(media, max_side=256)
 
 
+# --- perceptual-hash image dedup --------------------------------------------
+# Near-duplicate IMAGES cluster by perceptual hash: the 64-bit
+# average-hash from the decode path (`_decode_image_real` computes it
+# from real pixels when Pillow is present; `_fake_image_features`
+# md5-derives it) compared under Hamming distance.  Blocking is the
+# SimHash pattern: 4 x 16-bit chunks — by pigeonhole any pair within
+# Hamming distance 3 shares at least one exact chunk, so a capped
+# chunk-postings join enumerates every candidate without an n^2 pair
+# space.  The corpus' fake phashes are md5-uniform (no near-dups at
+# distance <= 3 ever), so the demo query PLANTS collision structure
+# the way _variant_urls plants url noise: groups of 3 docs share a
+# base hash with member 1 at distance 2 (kept) and member 2 at
+# distance 4 (provably beyond the threshold).  All hash arithmetic
+# works on the NONNEGATIVE 32-bit halves (hi, lo) so no signed
+# shift/xor subtleties exist in either engine; the signed-64 phash is
+# reconstructed only for the output column (matching the fake
+# decode's signed packing).
+PHASH_MAX_HAMMING = 3
+PHASH_BUCKET_CAP = 64
+# planted masks: member 1 flips lo bits {5, 20} (distance 2);
+# member 2 flips lo {3, 17} + hi {1, 17} (= bits 3,17,33,49; distance 4)
+_PH_LO_MASK_1 = (1 << 5) | (1 << 20)
+_PH_LO_MASK_2 = (1 << 3) | (1 << 17)
+_PH_HI_MASK_2 = (1 << 1) | (1 << 17)
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming, phash_a, phash_b): image near-dup pairs
+    at Hamming distance <= PHASH_MAX_HAMMING over 64-bit perceptual
+    hashes, via capped 16-bit-chunk blocking.
+
+    Scale shape: hash derivation is a pure map; each image emits
+    exactly 4 (chunk_idx, chunk_val) postings; buckets above
+    PHASH_BUCKET_CAP are dropped (the SimHash/SHINGLE_DF_CAP bound),
+    pairs come from the bounded double explode, and the exact Hamming
+    verify runs only on candidates — bit_count over the two 32-bit
+    halves, all JVM codegen, no Python.  Pair space <=
+    4 * n_buckets * cap^2 at any corpus size.  Deterministic: integer
+    bit arithmetic only; oracle is a full SQL mirror."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.concat(F.lit("img|"),
+                       F.expr("doc_id div 3").cast("string")))
+    hi0 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo0 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    j = F.col("doc_id") % 3
+    lo = F.when(j == 1, lo0.bitwiseXOR(F.lit(_PH_LO_MASK_1))).when(
+        j == 2, lo0.bitwiseXOR(F.lit(_PH_LO_MASK_2))
+    ).otherwise(lo0)
+    hi = F.when(j == 2, hi0.bitwiseXOR(F.lit(_PH_HI_MASK_2))).otherwise(hi0)
+    t = d.select("doc_id", hi.alias("hi"), lo.alias("lo"))
+    chunks = t.select(
+        "doc_id", "hi", "lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("ci"),
+                     (F.col("lo") % 65536).alias("cv")),
+            F.struct(F.lit(1).alias("ci"),
+                     F.expr("(lo div 65536) % 65536").alias("cv")),
+            F.struct(F.lit(2).alias("ci"),
+                     (F.col("hi") % 65536).alias("cv")),
+            F.struct(F.lit(3).alias("ci"),
+                     F.expr("(hi div 65536) % 65536").alias("cv")),
+        )).alias("c"),
+    ).select("doc_id", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    posts = (
+        chunks.groupBy("ci", "cv")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= PHASH_BUCKET_CAP))
+    )
+    cand = (
+        posts.select(F.explode("ds").alias("doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(F.filter("ds", lambda x: x > F.col("doc_a")))
+            .alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"),
+                 F.col("lo").alias("lo_a"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"),
+                 F.col("lo").alias("lo_b"))
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    signed = (
+        lambda hic, loc: (
+            hic - F.when(hic >= F.lit(1 << 31), F.lit(1 << 32)).otherwise(0)
+        ) * F.lit(1 << 32) + loc
+    )
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(ham <= PHASH_MAX_HAMMING)
+        .select(
+            "doc_a", "doc_b",
+            ham.cast("long").alias("hamming"),
+            signed(F.col("hi_a"), F.col("lo_a")).alias("phash_a"),
+            signed(F.col("hi_b"), F.col("lo_b")).alias("phash_b"),
+        )
+    )
+
+
+def _sql_phash() -> str:
+    signed = ("(({h} - CASE WHEN {h} >= 2147483648 THEN 4294967296"
+              " ELSE 0 END) * 4294967296 + {l})")
+    return f"""
+WITH base AS (SELECT doc_id,
+                CAST('0x' || substr(md5('img|' || CAST(doc_id // 3 AS VARCHAR)),
+                                    1, 8) AS BIGINT) AS hi0,
+                CAST('0x' || substr(md5('img|' || CAST(doc_id // 3 AS VARCHAR)),
+                                    9, 8) AS BIGINT) AS lo0,
+                CAST(doc_id % 3 AS INTEGER) AS j
+              FROM documents),
+t AS (SELECT doc_id,
+             CASE WHEN j = 2 THEN xor(hi0, {_PH_HI_MASK_2}) ELSE hi0 END AS hi,
+             CASE WHEN j = 1 THEN xor(lo0, {_PH_LO_MASK_1})
+                  WHEN j = 2 THEN xor(lo0, {_PH_LO_MASK_2})
+                  ELSE lo0 END AS lo
+      FROM base),
+chunks AS (
+  SELECT doc_id, 0 AS ci, lo % 65536 AS cv FROM t
+  UNION ALL SELECT doc_id, 1, (lo // 65536) % 65536 FROM t
+  UNION ALL SELECT doc_id, 2, hi % 65536 FROM t
+  UNION ALL SELECT doc_id, 3, (hi // 65536) % 65536 FROM t),
+ok AS (SELECT ci, cv FROM chunks GROUP BY ci, cv
+       HAVING COUNT(*) BETWEEN 2 AND {PHASH_BUCKET_CAP}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM chunks x JOIN chunks y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+         JOIN ok ON ok.ci = x.ci AND ok.cv = x.cv),
+v AS (SELECT doc_a, doc_b,
+             bit_count(xor(ta.hi, tb.hi)) + bit_count(xor(ta.lo, tb.lo))
+               AS hamming,
+             ta.hi AS hi_a, ta.lo AS lo_a, tb.hi AS hi_b, tb.lo AS lo_b
+      FROM cand JOIN t ta ON ta.doc_id = cand.doc_a
+                JOIN t tb ON tb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming,
+       {signed.format(h="hi_a", l="lo_a")} AS phash_a,
+       {signed.format(h="hi_b", l="lo_b")} AS phash_b
+FROM v WHERE hamming <= {PHASH_MAX_HAMMING}
+"""
+
+
 QUERIES = {
     "media_features": media_features_query,
     "media_resize": media_resize_query,
     "media_audio_features": media_audio_features_query,
     "media_frame_sample": media_frame_sample_query,
+    "media_phash_dedup": media_phash_dedup,
 }
-ORACLES: dict[str, str] = {}  # oracles are pinned replays served by __spark_entry__
+# feature/resize/audio/frame oracles are pinned replays served by
+# __spark_entry__; the phash dedup is integer algebra -> direct SQL
+ORACLES: dict[str, str] = {"media_phash_dedup": _sql_phash()}

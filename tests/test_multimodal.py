@@ -257,3 +257,36 @@ def test_video_real_decode_guarded(spark):
     assert real.schema == fake.schema
     idxs = sorted(r["frame_idx"] for r in real.collect())
     assert idxs == [0, 4, 8]
+
+
+def test_phash_dedup_planted_structure(spark):
+    """The planted construction is fully checkable: every group of 3
+    docs must yield EXACTLY its (member0, member1) pair at Hamming
+    distance 2 — member 2 sits at distance 4 (>. threshold) from
+    member 0 and distance 6 from member 1, and uniform md5 hashes
+    make cross-group pairs within distance 3 essentially impossible."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["media_phash_dedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["doc_a"] // 3 == r["doc_b"] // 3  # same planted group
+        assert (r["doc_a"] % 3, r["doc_b"] % 3) == (0, 1)
+        assert r["hamming"] == 2
+        # phash halves differ in exactly the planted lo bits {5, 20}
+        assert (r["phash_a"] ^ r["phash_b"]) == (1 << 5) | (1 << 20)
+    # every group holding members 0 AND 1 is found: 500 docs ->
+    # 3g+1 <= 499 -> groups 0..166 (group 166 is the 2-member tail)
+    found = {r["doc_a"] // 3 for r in rows}
+    assert found == set(range(167))
+
+
+def test_phash_dedup_bounded_buckets_no_cartesian(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["media_phash_dedup"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
