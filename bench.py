@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "curate_c4_filters",
     "text_bpe_merges",
     "media_phash_dedup",
+    "curate_length_dist",
 ]
 
 

