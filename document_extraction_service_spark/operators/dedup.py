@@ -385,13 +385,27 @@ def _pair_cos(av, bv):
     """Exact cosine between two array<double> columns — JVM left fold
     (the engine-wide deterministic cosine; numpy pairwise summation
     differs in the last ulp, CLAUDE.md gotcha #16)."""
-    dot = F.aggregate(
+    return _dot(av, bv) / (_vnorm(av) * _vnorm(bv))
+
+
+def _dot(av, bv):
+    """JVM left-fold dot product of two array<double> columns."""
+    return F.aggregate(
         F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+
+
+def _vnorm(col):
+    """sqrt of the JVM left-fold sum of squares — exactly the na/nb
+    subexpression of _pair_cos.  Precompute it once per VECTOR when
+    scoring candidate PAIRS: Spark HOFs run interpreted with no
+    common-subexpression elimination, so an inlined _pair_cos pays two
+    O(dim) norm folds on every pair — 3x the fold work on a candidate
+    set that is orders of magnitude larger than the vector table.
+    dot/(na*nb) on the precomputed norms is the identical IEEE
+    expression, so results are bit-identical."""
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def embedding_cosine_pairs(e: DataFrame, block_cap: int = EMB_BLOCK_CAP) -> DataFrame:
@@ -403,9 +417,13 @@ def embedding_cosine_pairs(e: DataFrame, block_cap: int = EMB_BLOCK_CAP) -> Data
     regardless of corpus size (VERDICT r3 'What's wrong' #1 closed)."""
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     posts = (
+        # norm precomputed per vector BEFORE the pair explode (_vnorm
+        # contract: per-pair norms would re-fold O(dim) twice on every
+        # pair of the cap^2 pair space)
         e.select("vec_id", "label", dv.alias("v"))
+        .withColumn("nv", _vnorm(F.col("v")))
         .groupBy("label")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("docs"))
+        .agg(F.collect_list(F.struct("vec_id", "v", "nv")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= block_cap))
     )
     pairs = (
@@ -417,7 +435,7 @@ def embedding_cosine_pairs(e: DataFrame, block_cap: int = EMB_BLOCK_CAP) -> Data
             ).alias("b"),
         )
     )
-    cos = _pair_cos(F.col("a.v"), F.col("b.v"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     return (
         pairs.filter(cos >= EMB_COS_THRESHOLD)
         .select(
@@ -496,16 +514,21 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) pair graph -> (doc_id, cluster_id, cluster_size).
     Min-label propagation to fixpoint; see dedup_clusters for the scale
     analysis."""
+    # LAZY localCheckpoints throughout (r7): eager=True ran one Spark
+    # job per materialization PLUS one per checksum — with lazy marks
+    # the checksum collect materializes (and lineage-truncates) the
+    # just-built table in the SAME job, halving the per-iteration job
+    # count.  The loop's driver-sync structure is unchanged.
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("u", "v")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select(F.col("u").alias("doc_id"), F.least("u", "mn").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur_sum = _label_checksum(labels).collect()[0]["s"]
     for _ in range(MAX_CC_ITERS):
@@ -535,7 +558,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 "doc_id",
                 F.least("lbl", F.coalesce("parent_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_checksum(new_labels).collect()[0]["s"]
         labels = new_labels
@@ -671,9 +694,17 @@ def dedup_embedding_pipeline(spark, sf_dir):
         e, n=_corpus_n(e, f"{sf_dir}/embeddings.parquet")
     )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    va = e.select(F.col("vec_id").alias("vec_a"), dv.alias("v_a"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), dv.alias("v_b"))
-    cos = _pair_cos(F.col("v_a"), F.col("v_b"))
+    # per-vector norms computed on the n-row vector table, not per
+    # candidate pair (_vnorm contract: the LSH candidate set is orders
+    # of magnitude larger than the vector table, and inlined _pair_cos
+    # re-folds both norms on every pair)
+    va = e.select(F.col("vec_id").alias("vec_a"), dv.alias("v_a")).withColumn(
+        "na", _vnorm(F.col("v_a"))
+    )
+    vb = e.select(F.col("vec_id").alias("vec_b"), dv.alias("v_b")).withColumn(
+        "nb", _vnorm(F.col("v_b"))
+    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("na") * F.col("nb"))
     verified = (
         cand.join(va, "vec_a").join(vb, "vec_b")
         .filter(cos >= EMB_COS_THRESHOLD)
@@ -913,10 +944,15 @@ def incremental_emb_dedup(batch: DataFrame, index: DataFrame,
         .distinct()
     )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    newv = batch.select(F.col("vec_id").alias("new_id"), dv.alias("v_new"))
+    # per-vector norms, not per candidate pair (_vnorm contract)
+    newv = batch.select(F.col("vec_id").alias("new_id"), dv.alias("v_new")).withColumn(
+        "n_new", _vnorm(F.col("v_new"))
+    )
     cand_n = cand.join(h(newv), "new_id")
-    oldv = existing.select(F.col("vec_id").alias("old_id"), dv.alias("v_old"))
-    cos = _pair_cos(F.col("v_new"), F.col("v_old"))
+    oldv = existing.select(F.col("vec_id").alias("old_id"), dv.alias("v_old")).withColumn(
+        "n_old", _vnorm(F.col("v_old"))
+    )
+    cos = _dot(F.col("v_new"), F.col("v_old")) / (F.col("n_new") * F.col("n_old"))
     hits = (
         oldv.join(h(cand_n), "old_id")
         .filter(cos >= EMB_COS_THRESHOLD)
@@ -1480,33 +1516,64 @@ def semantic_assign(e: DataFrame, k: int = SEM_K) -> DataFrame:
     assignment/blocking plan is identical whatever produces the k
     centroid rows, so production swaps in real k-means output).
 
-    Scale shape: the centroid table is k rows and BROADCASTS; scoring
-    is a map-side broadcast nested loop producing only (vec_id,
-    cent_id, cent_sim) longs — the vectors are dropped before the
-    argmax shuffle, so the one shuffle moves 3 longs x n x k.  The
-    argmax window partitions by vec_id over exactly k rows.
-    Deterministic: cent_sim is fixed-point floor(cos*1e6) BIGINT
-    (cross-engine float argmax would flake at ulp ties — CLAUDE.md
-    gotcha #23 family), ties break on cent_id asc."""
-    from pyspark.sql import Window
-
+    Scale shape (r7): the k centroid rows are collected ONCE and
+    inlined as literal arrays (k rows is driver-safe by construction —
+    the similarity._ivf_centroids contract), so assignment is a PURE
+    MAP: per row one norm fold + k dot folds + an in-row argmax over
+    the k-element fixed-point sim array.  Zero shuffles — the previous
+    broadcast-crossJoin form shuffled n*k (vec_id, cent_id, cent_sim)
+    rows through a window argmax.  Deterministic and bit-identical to
+    that form: literal doubles round-trip exactly, the dot/norm folds
+    are the same JVM left folds (the driver-side centroid norm is the
+    same IEEE left fold — +, *, sqrt are correctly rounded), cent_sim
+    is fixed-point floor(cos*1e6) BIGINT (cross-engine float argmax
+    would flake at ulp ties — CLAUDE.md gotcha #23 family), and
+    array_position's first-match rule is the cent_id-asc tie-break."""
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select("vec_id", dv.alias("v"))
-    cents = (
-        v.orderBy("vec_id").limit(k)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    )
-    sim = F.floor(_pair_cos(F.col("v"), F.col("cv")) * 1e6).cast("long")
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cent_id", sim.alias("cent_sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.asc("cent_id")
-    )
+    return _semantic_assign_v(v, k).select("vec_id", "cent_id", "cent_sim")
+
+
+def _semantic_assign_v(v: DataFrame, k: int = SEM_K) -> DataFrame:
+    """(vec_id, v) -> + (cent_id, cent_sim) as a pure map against
+    driver-collected centroid literals — see semantic_assign.  Keeps
+    the vector column so callers (dedup_semantic's pair stage) need no
+    re-join of the assignment onto the vectors."""
+    import math
+
+    rows = v.orderBy("vec_id").limit(k).collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows]
+    if not cents:
+        return v.select(
+            "vec_id", "v",
+            F.lit(None).cast("long").alias("cent_id"),
+            F.lit(None).cast("long").alias("cent_sim"),
+        ).limit(0)
+    sims = []
+    for _, cv in cents:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x  # same IEEE left fold as _vnorm
+        nb = math.sqrt(acc)
+        cvl = F.array(*[F.lit(x) for x in cv])
+        sims.append(
+            F.floor(
+                _dot(F.col("v"), cvl) / (F.col("_na") * F.lit(nb)) * 1e6
+            ).cast("long")
+        )
+    cid_arr = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "cent_sim")
+        v.withColumn("_na", _vnorm(F.col("v")))
+        .withColumn("_sims", F.array(*sims))
+        .withColumn("cent_sim", F.array_max("_sims"))
+        .withColumn(
+            "cent_id",
+            F.element_at(
+                cid_arr,
+                F.array_position("_sims", F.col("cent_sim")).cast("int"),
+            ),
+        )
+        .drop("_na", "_sims")
     )
 
 
@@ -1533,13 +1600,17 @@ def dedup_semantic(spark, sf_dir):
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "embeddings")
-    assign = semantic_assign(e)
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select("vec_id", dv.alias("v"))
+    # assignment is a pure map carrying the vector through (r7:
+    # previously assign -> join back onto v -> posts paid an extra
+    # shuffle join, and the final keep-join re-ran the whole
+    # crossJoin+window assignment a second time)
+    assigned = _semantic_assign_v(v, SEM_K)
     posts = (
-        assign.join(v, "vec_id")
+        assigned.withColumn("nv", _vnorm(F.col("v")))
         .groupBy("cent_id")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("docs"))
+        .agg(F.collect_list(F.struct("vec_id", "v", "nv")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= EMB_BLOCK_CAP))
     )
     pairs = (
@@ -1551,11 +1622,13 @@ def dedup_semantic(spark, sf_dir):
             ).alias("b"),
         )
     )
-    cos = _pair_cos(F.col("a.v"), F.col("b.v"))
+    # per-vector norms precomputed before the cap^2 pair space (_vnorm)
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     verified = pairs.filter(cos >= EMB_COS_THRESHOLD).select(
         F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
     )
     cc = connected_components(verified)
+    assign = assigned.select("vec_id", "cent_id", "cent_sim")
     j = cc.join(
         assign, cc.doc_id == assign.vec_id
     ).select("vec_id", "cent_id", "cent_sim", "cluster_id", "cluster_size")
