@@ -135,3 +135,42 @@ def test_bloom_bitmap_join_is_broadcast(spark):
     plan = _plan(entry.queries()["dedup_bloom"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lines_shuffled_fallback_identical_output(spark, tmp_path):
+    """The r7 broadcast guard (VERDICT r6 #1): above
+    INCR_BROADCAST_MAX_ROWS the duplicated-fp probe degrades to a
+    shuffled left-anti join.  Both paths must produce identical rows,
+    and the fallback plan must carry NO broadcast on the anti join."""
+    from document_extraction_service_spark.operators.dedup import line_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(LINE_CHUNK_WORDS))
+    uniq = [
+        " ".join(f"u{d}w{i}" for i in range(LINE_CHUNK_WORDS))
+        for d in range(4)
+    ]
+    texts = [f"{boiler} {uniq[d]}" for d in range(4)]
+    sf = _mk_docs(spark, tmp_path, texts)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+
+    bcast = line_dedup(d, broadcast_dups=True)
+    shuf = line_dedup(d, broadcast_dups=False)
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(bcast.collect()) == key(shuf.collect())
+
+    # broadcast_dups=False must carry NO broadcast HINT — with
+    # auto-broadcast disabled (emulating a table whose size estimate
+    # exceeds the threshold, the crawl-scale case) the anti join must
+    # plan as a shuffle join; a residual F.broadcast hint would force
+    # a broadcast regardless of the threshold.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        anti = [
+            ln
+            for ln in _plan(line_dedup(d, broadcast_dups=False)).splitlines()
+            if "LeftAnti" in ln
+        ]
+        assert anti and all("Broadcast" not in ln for ln in anti)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
