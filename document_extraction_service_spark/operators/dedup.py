@@ -78,6 +78,32 @@ def _shingles(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
 
 
+def _hashed_shingle_array():
+    """Column: distinct xxhash64 fingerprints of the k-word shingles —
+    the Jaccard/containment family's INTERNAL shingle universe (r7).
+    Set sizes and intersections over the hashed universe equal the
+    string universe's (a 64-bit collision needs ~n_distinct^2/2^64 —
+    negligible, and every family query is value-verified against the
+    string-universe DuckDB oracles at each provided scale); longs make
+    the postings shuffle key 8 bytes instead of a ~20-30 byte trigram
+    and turn the distinct/intersect compares into integer ops.  NOT
+    used where the shingle string itself matters: MinHash sketches
+    (seeded xxhash64 over the STRING is the pinned value) and
+    text_top_ngrams (the trigram string is the output)."""
+    from .textstats import _word_ngrams
+
+    return F.array_distinct(
+        F.transform(_word_ngrams(SHINGLE_K), lambda s: F.xxhash64(s))
+    )
+
+
+def _hashed_shingles(df: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct shingle fingerprints (longs)."""
+    return df.select(
+        "doc_id", F.explode(_hashed_shingle_array()).alias("shingle")
+    )
+
+
 def dedup_exact(spark, sf_dir):
     """Exact dedup by content hash (hash-groupBy; O6 generalized).
     Returns every doc with its fingerprint and duplicate-group size —
@@ -110,8 +136,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def capped_postings(docs: DataFrame) -> DataFrame:
-    """shingle -> bounded postings array (every array <= SHINGLE_DF_CAP)."""
-    sh = _shingles(docs)
+    """shingle fingerprint -> bounded postings array (every array <=
+    SHINGLE_DF_CAP).  Keyed by the hashed shingle universe (r7 — see
+    _hashed_shingle_array): the postings shuffle moves (long, long)
+    instead of (trigram string, long)."""
+    sh = _hashed_shingles(docs)
     return sh.groupBy("shingle").agg(
         F.collect_set("doc_id").alias("docs")
     ).filter(F.size("docs") <= SHINGLE_DF_CAP)
@@ -623,7 +652,9 @@ def dedup_pipeline(spark, sf_dir):
     dedup_clusters — by design, and mirrored in the pinned replay."""
     docs = _t(spark, sf_dir, "documents")
     cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sh = docs.select("doc_id", _shingle_array().alias("sh"))
+    # hashed shingle universe for the verify intersections (r7): the
+    # candidate joins ship long arrays, array_intersect compares longs
+    sh = docs.select("doc_id", _hashed_shingle_array().alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -855,12 +886,14 @@ def incremental_near_dedup(
         .select("new_id", F.explode("docs").alias("old_id"))
         .distinct()
     )
+    # hashed shingle universe for the verify intersections (r7 — see
+    # _hashed_shingle_array): long arrays ship through the probe joins
     new_sh = batch.select(
-        F.col("doc_id").alias("new_id"), _shingle_array().alias("sh_new")
+        F.col("doc_id").alias("new_id"), _hashed_shingle_array().alias("sh_new")
     )
     cand_n = cand.join(h(new_sh), "new_id")
     old_sh = existing.select(
-        F.col("doc_id").alias("old_id"), _shingle_array().alias("sh_old")
+        F.col("doc_id").alias("old_id"), _hashed_shingle_array().alias("sh_old")
     )
     inter = F.size(F.array_intersect("sh_new", "sh_old"))
     jac = inter / (F.size("sh_new") + F.size("sh_old") - inter)
