@@ -272,8 +272,14 @@ def run_job(
     # payload).  Scoped to THIS input via the embedded input_fp —
     # bucket partitions left over from an older input (dynamic
     # overwrite never touches buckets absent from the current input)
-    # are excluded — and to this run's buckets via skip/only.
-    out = spark.read.parquet(output_path).filter(F.col("input_fp") == fp)
+    # are excluded — and to this run's buckets via skip/only.  The
+    # output schema is the one this function just wrote, so it is
+    # passed explicitly: a bare spark.read.parquet runs one
+    # schema-inference job over the footers first (CLAUDE.md gotcha
+    # #21) — pure overhead on the job's own table.
+    out = spark.read.schema(extracted.schema).parquet(output_path).filter(
+        F.col("input_fp") == fp
+    )
     if skip:
         out = out.filter(~F.col("bucket").isin(sorted(skip)))
     if only_buckets is not None:
@@ -312,25 +318,25 @@ def run_job(
             "wall_ms", "committed_at",
         )
     )
-    lineage = lineage.cache()
-    totals = lineage.agg(
-        F.sum(F.col("n_ok") + F.col("n_failed")).alias("n_rows"),
-        F.sum("n_ok").alias("n_ok"),
-        F.sum("n_truncated").alias("n_truncated"),
-        F.sum("n_fallback").alias("n_fallback"),
-    ).collect()[0]
-    lineage.write.mode("append").parquet(lineage_path)
-    lineage.unpersist()
+    # the lineage table is <= n_buckets rows by construction: collect
+    # it ONCE (driver-safe, the finished_buckets contract), total it in
+    # Python, and write the collected rows back — one pass over the
+    # committed output instead of two (the previous cache + agg +
+    # cached write ran the totals aggregation as its own job)
+    lineage_rows = lineage.collect()
+    spark.createDataFrame(lineage_rows, lineage.schema).write.mode(
+        "append"
+    ).parquet(lineage_path)
     lineage_ms = int((time.time() - t_written) * 1000)
 
-    n_rows = int(totals["n_rows"] or 0)
+    n_rows = sum(r["n_ok"] + r["n_failed"] for r in lineage_rows)
     return {
         "run_id": run_id,
         "input_fingerprint": fp,
         "n_rows": n_rows,
-        "n_ok": int(totals["n_ok"] or 0),
-        "n_truncated": int(totals["n_truncated"] or 0),
-        "n_fallback": int(totals["n_fallback"] or 0),
+        "n_ok": sum(r["n_ok"] for r in lineage_rows),
+        "n_truncated": sum(r["n_truncated"] for r in lineage_rows),
+        "n_fallback": sum(r["n_fallback"] for r in lineage_rows),
         "wall_ms": wall_ms,
         "plan_ms": int((t_plan - t0) * 1000),
         "write_ms": int((t_written - t_plan) * 1000),

@@ -32,6 +32,12 @@ CONFIGS: dict[str, str] = {
     "snappy-rg16m-nodict": "parquet.block.size=16777216,parquet.enable.dictionary=false",
     "zstd-nodict": "compression=zstd,parquet.enable.dictionary=false",
     "zstd": "compression=zstd",
+    # r7: zstd compression-level ladder (parquet reads the level from
+    # the write conf; level 1 trades a few % size for encode CPU)
+    "zstd1-nodict": ("compression=zstd,parquet.enable.dictionary=false,"
+                     "parquet.compression.codec.zstd.level=1"),
+    "zstd2-nodict": ("compression=zstd,parquet.enable.dictionary=false,"
+                     "parquet.compression.codec.zstd.level=2"),
 }
 
 
