@@ -40,6 +40,13 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # joins: allow shuffled-hash when the per-partition build side
+        # fits (guide §3.1 — SMJ's sort is pure overhead there), both
+        # at plan time and as an AQE rewrite.  Scale-safe: the 64 MB
+        # per-partition threshold is what bounds memory, not the local
+        # core count; on a cluster the same settings apply unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_RECORDS))
         .config("spark.python.worker.reuse", "true")
