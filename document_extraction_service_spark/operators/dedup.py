@@ -539,10 +539,27 @@ def _label_checksum(labels: DataFrame):
     return labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"))
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+# Driver union-find threshold for connected_components (r7): the
+# near-dup pair graph is BOUNDED by the capped pair generation upstream
+# (SHINGLE_DF_CAP / bucket caps), and in practice it is thousands to
+# millions of edges — while the iterative min-label loop pays 1-2
+# driver-synchronized Spark jobs PER ROUND (6 rounds measured on the
+# sf0.1 semantic graph).  Below this edge count the materialized edge
+# list is collected (a few MB — the same small-side contract as
+# _batch_probe_hint / similarity._ivf_centroids) and union-find runs
+# driver-side in O(E α(E)); above it the distributed loop runs
+# unchanged.  Both paths produce identical rows (min-id labels, exact
+# sizes); tests assert the equality.
+CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def connected_components(
+    pairs: DataFrame, driver_max_edges: int = CC_DRIVER_MAX_EDGES
+) -> DataFrame:
     """(doc_a, doc_b) pair graph -> (doc_id, cluster_id, cluster_size).
-    Min-label propagation to fixpoint; see dedup_clusters for the scale
-    analysis."""
+    Min-label propagation to fixpoint, with a driver union-find
+    shortcut for small graphs (see CC_DRIVER_MAX_EDGES); see
+    dedup_clusters for the scale analysis."""
     # LAZY localCheckpoints throughout (r7): eager=True ran one Spark
     # job per materialization PLUS one per checksum — with lazy marks
     # the checksum collect materializes (and lineage-truncates) the
@@ -553,6 +570,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .toDF("u", "v")
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()  # materializes the checkpoint
+    if n_edges <= driver_max_edges:
+        return _cc_driver(edges)
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mn"))
@@ -602,6 +622,47 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             F.col("lbl").alias("cluster_id"),
             "cluster_size",
         )
+    )
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected (small, threshold-guarded) edge
+    list — identical output contract to the distributed loop: one row
+    per node of the pair graph, cluster_id = min node id of its
+    component, exact cluster_size.  Deterministic (no RNG, no
+    iteration order dependence in the result: path-compressed
+    union-by-root still yields the same components and the labels are
+    recomputed as component minima at the end)."""
+    spark = edges.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)  # min-id root = min label
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    rows = [
+        (n, root, len(members))
+        for root, members in comp.items()
+        for n in members
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, cluster_size long"
     )
 
 

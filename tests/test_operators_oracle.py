@@ -301,10 +301,18 @@ def test_connected_components_chain_and_cliques(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
         "doc_a long, doc_b long",
     )
-    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
-            for r in connected_components(pairs).collect()}
-    assert {rows[d] for d in (1, 2, 3, 4, 5)} == {(1, 5)}
-    assert rows[10] == (10, 2) and rows[11] == (10, 2)
+    # both paths: driver union-find (default at this size) AND the
+    # distributed min-label loop (forced via driver_max_edges=0) must
+    # agree row-for-row (the r7 CC_DRIVER_MAX_EDGES contract)
+    per_path = []
+    for dme in (None, 0):
+        kw = {} if dme is None else {"driver_max_edges": dme}
+        rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+                for r in connected_components(pairs, **kw).collect()}
+        assert {rows[d] for d in (1, 2, 3, 4, 5)} == {(1, 5)}
+        assert rows[10] == (10, 2) and rows[11] == (10, 2)
+        per_path.append(rows)
+    assert per_path[0] == per_path[1]
 
 
 def test_connected_components_long_path_converges(spark):
@@ -316,8 +324,11 @@ def test_connected_components_long_path_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
+    # force the distributed loop (driver_max_edges=0): the long-path
+    # convergence property is the LOOP's, the driver union-find is
+    # trivially convergent
     rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
-            for r in connected_components(pairs).collect()}
+            for r in connected_components(pairs, driver_max_edges=0).collect()}
     assert set(rows.values()) == {(0, n)}
     assert len(rows) == n
 
