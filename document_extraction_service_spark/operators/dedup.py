@@ -156,8 +156,15 @@ def _pair_overlap(docs: DataFrame) -> DataFrame:
     cap bounds the pair blow-up to df_cap^2 per shingle — the uncapped
     form is sum of postings^2 and detonates on one hot trigram at crawl
     scale).  Pairs are generated JVM-side by a double explode over the
-    bounded array — no string self-join, no skewed join key."""
-    postings = capped_postings(docs)
+    bounded array — no string self-join, no skewed join key.
+
+    The postings table feeds TWO consumers (sizes and pairs), so it is
+    localCheckpointed (r7): without it the whole scan -> shingle ->
+    postings chain executes twice per query.  At production scale this
+    is the same call: the capped postings table IS the inverted index,
+    which a 100 TB pipeline materializes (parquet/Iceberg, the
+    minhash_band_index pattern) rather than recomputing per pass."""
+    postings = capped_postings(docs).localCheckpoint(eager=False)
     # post-cap set size per doc (Jaccard universe = capped shingles)
     sizes = (
         postings.select(F.explode("docs").alias("doc_id"))
@@ -714,8 +721,12 @@ def dedup_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # hashed shingle universe for the verify intersections (r7): the
-    # candidate joins ship long arrays, array_intersect compares longs
-    sh = docs.select("doc_id", _hashed_shingle_array().alias("sh"))
+    # candidate joins ship long arrays, array_intersect compares longs;
+    # localCheckpointed because BOTH sides of the verify join read it —
+    # recompute would build every doc's shingle array twice
+    sh = docs.select(
+        "doc_id", _hashed_shingle_array().alias("sh")
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

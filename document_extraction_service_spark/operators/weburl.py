@@ -371,12 +371,17 @@ def web_host_pagerank(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     edges = _host_edges(d)
     out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    ew = edges.join(out, "src").localCheckpoint(eager=True)
+    # lazy localCheckpoints (r7): nothing here needs a result before
+    # the final action, so the eager per-round materialization jobs
+    # (1 per iteration + 2 setup) collapse into the one job that runs
+    # the query — each checkpoint still truncates lineage when first
+    # materialized, so the executed plan depth stays bounded
+    ew = edges.join(out, "src").localCheckpoint(eager=False)
     hosts = (
         ew.select(F.col("src").alias("host"))
         .union(ew.select(F.col("dst").alias("host")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     consts = hosts.agg(F.count(F.lit(1)).alias("n")).select(
         F.expr(f"CAST({PR_SCALE} DIV n AS LONG)").alias("p0")
@@ -405,7 +410,7 @@ def web_host_pagerank(spark, sf_dir):
                 F.expr(f"CAST(base + ({PR_DAMP_NUM} * COALESCE(inflow, 0))"
                        f" DIV {PR_DAMP_DEN} AS LONG)").alias("p"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("host", F.col("p").alias("rank_fp"))
 
@@ -792,9 +797,12 @@ def web_crawl_depth(spark, sf_dir):
     is the iteration index — min distance by construction.  Oracle:
     recursive-CTE shortest path with the same depth bound."""
     d = _t(spark, sf_dir, "documents")
+    # lazy localCheckpoints (r7): the per-layer count() materializes
+    # (and lineage-truncates) each table in the same job, instead of
+    # one eager materialization job PLUS one count job per BFS layer
     edges = (
         _host_edges(d).select("src", "dst").distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seeds = (
         edges.select(F.col("src").alias("host"))
@@ -802,7 +810,7 @@ def web_crawl_depth(spark, sf_dir):
         .distinct()
         .filter(F.col("host").isin(*CRAWL_SEEDS))
         .select("host", F.lit(0).cast("long").alias("depth"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     settled = seeds
     frontier = seeds
@@ -813,12 +821,12 @@ def web_crawl_depth(spark, sf_dir):
             .distinct()
             .join(settled, "host", "left_anti")
             .select("host", F.lit(i).cast("long").alias("depth"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # bounded driver sync: one count per BFS layer
         if nxt.count() == 0:
             break
-        settled = settled.union(nxt).localCheckpoint(eager=True)
+        settled = settled.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return settled
 
