@@ -288,8 +288,15 @@ class _GzipStream:
         while len(self._out) < n:
             if self._z.eof:  # member finished: chain to the next
                 rest = self._z.unused_data
-                if len(rest) < 2:
-                    rest += self._fp.read(_SCAN_CHUNK)
+                # refill until the 2-byte magic is decidable or EOF: a
+                # single read may legally return short for non-regular
+                # file objects, which would make a valid next member
+                # look like trailing garbage (ADVICE r6)
+                while len(rest) < 2:
+                    chunk = self._fp.read(_SCAN_CHUNK)
+                    if not chunk:
+                        break
+                    rest += chunk
                 if not rest.startswith(b"\x1f\x8b"):
                     break  # clean EOF (or trailing garbage): stop
                 self._z = zlib.decompressobj(31)

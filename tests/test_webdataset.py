@@ -165,3 +165,34 @@ def test_job_runs_end_to_end_from_wds_input(spark, tmp_path):
     m2 = run_job(spark, spec, out, lin, run_id="wds1", n_buckets=8,
                  resume=True)
     assert m2["n_rows"] == 0 and len(m2["skipped_buckets"]) > 0
+
+
+def test_foreign_member_keys_skip_not_abort(tmp_path):
+    """ADVICE r6: non-numeric member stems are foreign files, not
+    corruption — the parser must skip them and keep every remaining
+    valid sample (previously the int() ValueError aborted the file,
+    and a non-numeric FINAL unpaired .txt escaped the generator)."""
+    import io
+    import tarfile
+
+    from document_extraction_service_spark.sources.webdataset import (
+        _iter_tar_rows,
+    )
+
+    p = str(tmp_path / "foreign.tar")
+    with tarfile.open(p, "w") as tf:
+        for name, data in [
+            ("000000000001.txt", b"alpha"),
+            ("README.txt", b"i am foreign"),          # mid-file foreign stem
+            ("000000000002.txt", b"beta"),
+            ("000000000002.json", b'{"lang":"en","source":"s"}'),
+            ("notes.txt", b"trailing foreign unpaired"),  # final foreign stem
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    rows = list(_iter_tar_rows(p))
+    assert (1, "alpha", None, None) in rows
+    assert (2, "beta", "en", "s") in rows
+    assert all(isinstance(r[0], int) for r in rows)
+    assert len(rows) == 2
