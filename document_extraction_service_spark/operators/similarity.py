@@ -270,16 +270,16 @@ def lsh_candidates(spark, sf_dir, tables: int = LSH_TABLES,
         # cached corpus count: zero Spark jobs after the first build
         planes = _auto_planes(_corpus_n(e_raw, f"{sf_dir}/embeddings.parquet"))
     sig = _signatures_udf(tables=tables, planes=planes)
-    e = e_raw.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("v"),
-        sig(F.col("embedding")).alias("bs"),
-    )
     # ONE scan + UDF pass, then posexplode into (table, bucket) rows —
-    # a per-table unionByName would re-execute the scan+UDF 12x
-    buckets = e.select(
-        "vec_id", "v", F.posexplode("bs").alias("tbl", "bucket")
-    )
+    # a per-table unionByName would re-execute the scan+UDF 12x.
+    # IDS ONLY through the bucket join and the dedup (r7, guide §8:
+    # decide with small rows, attach payloads once): the 64-double
+    # vectors previously rode the posexplode, the join AND the
+    # dropDuplicates shuffle on every candidate row — now they attach
+    # via one broadcast join after the candidate set is deduplicated.
+    buckets = e_raw.select(
+        "vec_id", sig(F.col("embedding")).alias("bs")
+    ).select("vec_id", F.posexplode("bs").alias("tbl", "bucket"))
     # multi-probe: the query probes its own bucket + `planes` hamming-1
     # buckets per table (flip each sign bit) — tables*(planes+1) probe
     # rows per query, all broadcast (tiny)
@@ -295,15 +295,25 @@ def lsh_candidates(spark, sf_dir, tables: int = LSH_TABLES,
     q = (
         buckets.filter(F.col("vec_id") < N_QUERIES)
         .select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl",
+            F.col("vec_id").alias("query_id"), "tbl",
             F.explode(probe_arr).alias("bucket"),
         )
     )
-    return (
+    cand_ids = (
         buckets.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = e_raw.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return (
+        cand_ids.join(F.broadcast(qv), "query_id")
+        .join(vecs.select(F.col("vec_id").alias("neighbor_id"), "v"),
+              "neighbor_id")
+        .select("query_id", "qv", "neighbor_id", "v")
     )
 
 
