@@ -54,6 +54,15 @@ def build_session(
         # is never the parallelism ceiling (default 128MB packed a 1.5GB
         # corpus into 12 tasks, capping 32 cores at 12 workers)
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # ... and a split-count floor at 4x cores (r7): openCost packing
+        # of a many-small-files table (the 128-bucket job input) capped
+        # the scan at ~29 uneven tasks on 32 cores; 4x cores keeps the
+        # UDF stage fully subscribed with straggler overlap.  Derived
+        # from the core count, not a constant, so it scales with the
+        # session; openCostInBytes still floors the split size, so a
+        # single small file never explodes into empty splits.
+        # Measured: scan+UDF 12.8k -> 14.8k docs/s at 48k pages.
+        .config("spark.sql.files.minPartitionNum", str(cores * 4))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
