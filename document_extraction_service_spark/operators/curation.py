@@ -740,11 +740,19 @@ def curate_dsir(spark, sf_dir):
     three consumers (totals, weights, nothing else rescans) stay
     corpus-free; the weight table BROADCASTS into the scoring join, so
     per-doc scoring is map-side + one doc_id-keyed agg on the job's
-    own shard key.  Two corpus scans total (count pass + score pass),
-    zero sort-merge joins."""
+    own shard key.  ONE corpus scan total (r7: the bucketed gram
+    stream is checkpointed and reused by the score pass), zero
+    sort-merge joins."""
     d = _t(spark, sf_dir, "documents")
     grams = d.select("doc_id", F.explode(_word_ngrams(2)).alias("gram"))
-    b = grams.select("doc_id", _dsir_bucket(F.col("gram")).alias("bkt"))
+    # the bucketed gram stream feeds BOTH the count pass and the
+    # scoring join: localCheckpoint (lazy) builds the ngram arrays and
+    # the md5 bucket arithmetic once instead of once per consumer
+    # (r7 — the line_dedup shared-build pattern); the materialized rows
+    # are 2 longs each, spill-able
+    b = grams.select(
+        "doc_id", _dsir_bucket(F.col("gram")).alias("bkt")
+    ).localCheckpoint(eager=False)
     c = b.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("doc_id") % DSIR_MOD == 0).cast("long")).alias("ct"),

@@ -616,7 +616,15 @@ def text_lm_score(spark, sf_dir):
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(_word_ngrams(2)).alias("gram"))
+    # the gram stream feeds BOTH the model-count pass and the scoring
+    # join: localCheckpoint (lazy) builds the _word_ngrams arrays once
+    # instead of once per consumer (r7 — the line_dedup shared-build
+    # pattern; spill-able store traded for a second full scan+ngram
+    # pass).  text_ppl_buckets compounds the win: its three references
+    # to this query share the one materialized gram RDD.
+    grams = d.select(
+        "doc_id", F.explode(_word_ngrams(2)).alias("gram")
+    ).localCheckpoint(eager=False)
     c = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     w1 = F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1")
     pre = c.groupBy(w1).agg(F.sum("n").alias("np")).filter(
