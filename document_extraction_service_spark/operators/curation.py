@@ -39,12 +39,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def curate_corpus(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim(F.col("text"))))
-    with_fp = d.withColumn("fp", fp)
-    canon = with_fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    # canonical row per fp in ONE combine-enabled shuffle (r7): struct
+    # comparison is lexicographic and doc_id leads, so min(struct)
+    # picks the min-doc_id row — the partial aggregation reduces each
+    # partition to one candidate per fp, so the text payload crosses
+    # the exchange once.  The previous groupBy + self-join on fp
+    # shuffled the text twice (guide §2.3/§8).
     kept = (
-        with_fp.join(canon, "fp")
-        .filter(F.col("doc_id") == F.col("canonical_id"))
-        .drop("fp", "canonical_id")
+        d.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "text", "source")).alias("r"))
+        .select("r.doc_id", "r.text", "r.source")
     )
 
     hits = {lg: _marker_hits(lg).alias(f"{lg}_hits") for lg in LANG_MARKERS}
@@ -381,6 +386,10 @@ def curate_token_budget(spark, sf_dir):
         + F.least(en_hits / n_words * 5.0, F.lit(1.0)) * 0.4
         + F.least((n_alpha / n_words) / F.lit(8.0), F.lit(1.0)) * 0.2
     )
+    # (doc_id, n_tokens, qbin) feeds BOTH the bin aggregation and the
+    # final rule join: localCheckpoint (lazy) computes the regex-heavy
+    # token count + quality map once instead of once per consumer
+    # (r7 — the line_dedup shared-build pattern; 3 small ints per row)
     per_doc = d.select(
         "doc_id",
         F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)"))
@@ -388,7 +397,7 @@ def curate_token_budget(spark, sf_dir):
         F.least(
             F.floor(q * N_QUALITY_BINS).cast("int"), F.lit(N_QUALITY_BINS - 1)
         ).alias("qbin"),
-    )
+    ).localCheckpoint(eager=False)
     bins = per_doc.groupBy("qbin").agg(F.sum("n_tokens").alias("bt"))
     # windows over the <= 32-row bin table ONLY (the single-task window
     # is bounded by construction — never over docs)
