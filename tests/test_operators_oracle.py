@@ -266,6 +266,53 @@ def test_embedding_cosine_block_cap_bounds_hot_label(spark):
     assert len(uncapped) == 190 + 3  # C(20,2) + C(3,2)
 
 
+def test_chunked_block_pairs_equals_plain_double_explode(spark):
+    """r7: _chunked_block_pairs (full-width chunked `a`-side slices)
+    must emit EXACTLY the plain double explode's pair set — including
+    blocks whose size is not a multiple of BLOCK_PAIR_CHUNK (slice
+    tail), blocks smaller than one chunk, and the carry columns."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from document_extraction_service_spark.operators.dedup import (
+        BLOCK_PAIR_CHUNK,
+        _chunked_block_pairs,
+    )
+
+    # block sizes: one chunk-straddling (BLOCK_PAIR_CHUNK + 7), one
+    # sub-chunk (3), one exactly-one-chunk (BLOCK_PAIR_CHUNK)
+    rows, vid = [], 0
+    for blk, size in ((0, BLOCK_PAIR_CHUNK + 7), (1, 3), (2, BLOCK_PAIR_CHUNK)):
+        for _ in range(size):
+            rows.append((vid, blk, float(vid % 5)))
+            vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "blk", "x"]),
+        "vec_id long, blk int, x double",
+    )
+    posts = df.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "x")).alias("docs")
+    )
+    plain = (
+        posts.select("blk", F.explode("docs").alias("a"), "docs")
+        .select(
+            "blk", "a",
+            F.explode(
+                F.filter("docs", lambda d: d["vec_id"] > F.col("a.vec_id"))
+            ).alias("b"),
+        )
+        .select("blk", F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    chunked = _chunked_block_pairs(posts, ["blk"]).select(
+        "blk", F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+    )
+    p = {tuple(r) for r in plain.collect()}
+    c = {tuple(r) for r in chunked.collect()}
+    assert c == p
+    n = BLOCK_PAIR_CHUNK + 7
+    assert len(p) == n * (n - 1) // 2 + 3 + BLOCK_PAIR_CHUNK * (BLOCK_PAIR_CHUNK - 1) // 2
+
+
 def test_embedding_pipeline_recall_vs_exact(spark):
     """The scale path (sign-LSH candidates -> exact verify -> CC) must
     recover most exact within-label near-dup pairs: every exact pair it
