@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import read_table
+
 from .textstats import (
     LANG_MARKERS,
     TOKEN_RE,
@@ -33,7 +35,8 @@ QUALITY_MIN = 0.5   # floored score threshold (same floored value both engines)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # width-guarded shared reader (see operators/tables.py)
+    return read_table(spark, sf_dir, name)
 
 
 def curate_corpus(spark, sf_dir):

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import read_table
+
 SHINGLE_K = 3          # 3-word shingles
 JACCARD_THRESHOLD = 0.5
 # Document-frequency cap: a shingle present in more than this many
@@ -58,7 +60,8 @@ EMB_PIPE_BUCKET_CAP = 256
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # width-guarded shared reader (see operators/tables.py)
+    return read_table(spark, sf_dir, name)
 
 
 def _shingle_array():

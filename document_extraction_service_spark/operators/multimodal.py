@@ -514,7 +514,9 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves, all JVM codegen, no Python.  Pair space <=
     4 * n_buckets * cap^2 at any corpus size.  Deterministic: integer
     bit arithmetic only; oracle is a full SQL mirror."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .tables import read_table
+
+    d = read_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("img|"),
                        F.expr("doc_id div 3").cast("string")))
     hi0 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")

@@ -17,9 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .tables import read_table
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # width-guarded shared reader (see operators/tables.py)
+    return read_table(spark, sf_dir, name)
 
 
 # --- A1-A6 analog: grouped aggregation with exact sums (TPC-H Q1 shape) ----

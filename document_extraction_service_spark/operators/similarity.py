@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .tables import read_table
+
 TOP_K = 5
 N_QUERIES = 10          # vec_id < 10 are the query vectors
 # multi-table random-hyperplane LSH: for neighbours at cosine ~0.33
@@ -45,7 +47,8 @@ LSH_TARGET_BUCKET_POP = 32
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # width-guarded shared reader (see operators/tables.py)
+    return read_table(spark, sf_dir, name)
 
 
 def _as_double(col):

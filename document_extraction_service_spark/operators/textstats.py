@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import read_table
+
 # stopword marker lists for the langid heuristic (checked as whole words)
 LANG_MARKERS = {
     "en": ["the", "a", "of", "and"],
@@ -27,7 +29,8 @@ TOKEN_RE_SPARK = TOKEN_RE.replace("\\", "\\\\")  # Spark SQL literal escaping
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # width-guarded shared reader (see operators/tables.py)
+    return read_table(spark, sf_dir, name)
 
 
 def _marker_hits(lang: str):

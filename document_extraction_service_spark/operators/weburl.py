@@ -19,13 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import read_table
+
 # tracking params dropped during canonicalization (order-preserving
 # keep-list semantics for everything else)
 TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # width-guarded shared reader (see operators/tables.py)
+    return read_table(spark, sf_dir, name)
 
 
 def _messy_urls(spark, sf_dir):

@@ -298,11 +298,17 @@ def test_semantic_centroid_table_broadcasts(spark):
 
 
 def test_gopher_rules_are_pure_map(spark):
-    """The whole ruleset must run inside the scan's codegen stage —
-    any Exchange would mean a shuffle snuck into a per-row filter."""
+    """The whole ruleset must run per-row — a keyed (hash/range) or
+    funneling (SinglePartition) Exchange would mean a shuffle snuck
+    into a per-row filter.  The width-guarded ROUND-ROBIN input
+    redistribution (operators/tables.py, r7: a single-row-group file
+    is one scan partition no matter the config) is allowed: it moves
+    rows before the map, it does not key or collapse them."""
     df = entry.queries()["curate_gopher_rules"](spark, SF_DIR)
     plan = _plan(df)
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
 
 
 def test_gopher_keep_is_conjunction_and_binds(spark):
@@ -316,8 +322,14 @@ def test_gopher_keep_is_conjunction_and_binds(spark):
 
 
 def test_c4_filters_pure_map_and_consistent(spark):
+    # per-row map: no keyed/funneling Exchange (the width-guarded
+    # round-robin input redistribution is allowed — see the gopher
+    # pure-map test)
     df = entry.queries()["curate_c4_filters"](spark, SF_DIR)
-    assert "Exchange" not in _plan(df)
+    plan = _plan(df)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
     rows = df.collect()
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_lines"]
@@ -361,3 +373,28 @@ def test_length_dist_self_consistent(spark):
     # the only window is over the <=16-row bucket table: no Exchange
     # before the first aggregate beyond the single hash shuffle
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# --- operators/tables.py width guard (r7) -----------------------------------
+
+
+def test_widen_narrow_scan_widens_and_preserves_rows(spark):
+    """A single-row-group parquet file is one scan partition no matter
+    the session config; the width guard must redistribute it to >=
+    session width, keep the row multiset identical, and leave an
+    already-wide DataFrame untouched (the production no-op branch)."""
+    from document_extraction_service_spark.operators.tables import (
+        widen_narrow_scan,
+    )
+
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert raw.rdd.getNumPartitions() == 1  # the starved premise
+    wide = widen_narrow_scan(raw)
+    width = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() >= width
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
+
+    already = raw.repartition(width * 4)
+    assert widen_narrow_scan(already) is already  # identity, no new plan
