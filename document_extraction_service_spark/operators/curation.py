@@ -34,9 +34,13 @@ from .textstats import (
 QUALITY_MIN = 0.5   # floored score threshold (same floored value both engines)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # width-guarded shared reader (see operators/tables.py)
-    return read_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
+    # shared reader; wide=True opts into the width-guarded scan
+    # redistribution for fold/parse-heavy single-pass queries
+    # (see operators/tables.py for the A/B and the scale guard)
+    return read_table(spark, sf_dir, name, wide)
 
 
 def curate_corpus(spark, sf_dir):
@@ -225,7 +229,7 @@ def curate_quality_gate(spark, sf_dir):
     expressions, no shuffle): at 10^12 rows the gate costs what the
     scan costs, and the reason column aggregates into the per-rule
     drop report every corpus card publishes."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     reason = gate_reason()
     return d.select(
         "doc_id",
@@ -326,7 +330,7 @@ def curate_decontaminate(spark, sf_dir):
     10^12-row side never shuffles its grams.  Output is only the
     contaminated docs (sparse by construction — a shared 4-gram from a
     ~30-word vocabulary is ~1e-4 per gram — so the result is small)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     grams = d.select(
         "doc_id", F.explode(_contam_ngrams()).alias("g")
     )
@@ -845,7 +849,7 @@ def curate_gopher_rules(spark, sf_dir):
     string/array arithmetic on the row, zero shuffles, zero Python.
     The words array is materialized ONCE as a column and HOF lambdas
     only reference it (never re-derive it — gotcha #19)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     w = d.select(
         "doc_id",
         F.split(F.trim(F.col("text")), " ").alias("words"),
@@ -957,7 +961,7 @@ def curate_c4_filters(spark, sf_dir):
     derive per-LINE scalars inside the lambda (gotcha #19 applies to
     derived ARRAYS indexed per element, not scalar work on the
     lambda variable)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     w = d.select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("words")
     )

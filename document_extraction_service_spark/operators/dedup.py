@@ -59,9 +59,13 @@ EMB_BLOCK_CAP = 1024
 EMB_PIPE_BUCKET_CAP = 256
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # width-guarded shared reader (see operators/tables.py)
-    return read_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
+    # shared reader; wide=True opts into the width-guarded scan
+    # redistribution for fold/parse-heavy single-pass queries
+    # (see operators/tables.py for the A/B and the scale guard)
+    return read_table(spark, sf_dir, name, wide)
 
 
 def _shingle_array():
@@ -135,7 +139,7 @@ SELECT f.doc_id, f.fp, c.n_same, c.canonical_id FROM f JOIN c USING (fp)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via a DF-capped postings
     list (reference O7's fuzzy dedup generalized cross-document)."""
-    return jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return jaccard_pairs(_t(spark, sf_dir, "documents", wide=True))
 
 
 def capped_postings(docs: DataFrame) -> DataFrame:
@@ -238,7 +242,7 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
 
 def dedup_containment(spark, sf_dir):
     """Driver entry: containment_pairs over the documents table."""
-    return containment_pairs(_t(spark, sf_dir, "documents"))
+    return containment_pairs(_t(spark, sf_dir, "documents", wide=True))
 
 
 # DuckDB lists are 1-indexed; Spark transform above is 0-indexed — both
@@ -330,7 +334,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     skewed self-join key.  Oracle: pinned pure-Python XXH64 replay
     (scripts/replay_sketches.py — full value verification); recall/
     precision vs exact Jaccard additionally asserted in tests."""
-    bands = _minhash_bands(_t(spark, sf_dir, "documents"))
+    bands = _minhash_bands(_t(spark, sf_dir, "documents", wide=True))
     posts = (
         bands.groupBy("band", "bucket")
         .agg(F.collect_set("doc_id").alias("docs"))
@@ -583,7 +587,7 @@ def dedup_clusters(spark, sf_dir):
     Deterministic: min-label is order-independent; the driver loop's
     only synchronization is a shuffle-free label-sum checksum per round
     (_label_checksum — monotone, so equal sums mean fixpoint)."""
-    pairs = jaccard_pairs(_t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents", wide=True)).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 
@@ -1207,7 +1211,7 @@ def dedup_passage(spark, sf_dir):
     explode, no self-join.  Everything up to the postings shuffle is a
     pure map (window hashes are integer arithmetic inside codegen'd
     HOFs — no Python, no strings beyond the one split)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     fps = d.select("doc_id", F.explode(_passage_fps()).alias("fp"))
     posts = (
         fps.groupBy("fp")
@@ -1284,7 +1288,7 @@ def dedup_keep_best(spark, sf_dir):
 
     from .textstats import _marker_hits
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     clusters = connected_components(
         jaccard_pairs(d).select("doc_a", "doc_b")
     )
@@ -1526,7 +1530,7 @@ def line_dedup(d: DataFrame, broadcast_dups: bool | None = None) -> DataFrame:
 
 def dedup_lines(spark, sf_dir):
     """Driver entry: line_dedup over the documents table."""
-    return line_dedup(_t(spark, sf_dir, "documents"))
+    return line_dedup(_t(spark, sf_dir, "documents", wide=True))
 
 
 _SQL_CHUNKS = f"""

@@ -20,9 +20,13 @@ from pyspark.sql import functions as F
 from .tables import read_table
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # width-guarded shared reader (see operators/tables.py)
-    return read_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
+    # shared reader; wide=True opts into the width-guarded scan
+    # redistribution for fold/parse-heavy single-pass queries
+    # (see operators/tables.py for the A/B and the scale guard)
+    return read_table(spark, sf_dir, name, wide)
 
 
 # --- A1-A6 analog: grouped aggregation with exact sums (TPC-H Q1 shape) ----

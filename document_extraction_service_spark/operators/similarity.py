@@ -46,9 +46,13 @@ LSH_TABLES = 12
 LSH_TARGET_BUCKET_POP = 32
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # width-guarded shared reader (see operators/tables.py)
-    return read_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
+    # shared reader; wide=True opts into the width-guarded scan
+    # redistribution for fold/parse-heavy single-pass queries
+    # (see operators/tables.py for the A/B and the scale guard)
+    return read_table(spark, sf_dir, name, wide)
 
 
 def _as_double(col):
@@ -94,7 +98,7 @@ def ann_topk_bruteforce(spark, sf_dir):
     The query side is tiny -> broadcast; the corpus side streams, so on
     a cluster this is a map-only scan of the corpus (no shuffle of the
     embedding payload)."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _t(spark, sf_dir, "embeddings", wide=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

@@ -28,9 +28,13 @@ TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 TOKEN_RE_SPARK = TOKEN_RE.replace("\\", "\\\\")  # Spark SQL literal escaping
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # width-guarded shared reader (see operators/tables.py)
-    return read_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
+    # shared reader; wide=True opts into the width-guarded scan
+    # redistribution for fold/parse-heavy single-pass queries
+    # (see operators/tables.py for the A/B and the scale guard)
+    return read_table(spark, sf_dir, name, wide)
 
 
 def _marker_hits(lang: str):
@@ -448,7 +452,7 @@ def text_repetition(spark, sf_dir):
 
     Pure map (JVM higher-order functions, no shuffle, no Python) — at
     10^12 rows this costs one scan."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",

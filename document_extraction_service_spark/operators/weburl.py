@@ -26,9 +26,13 @@ from .tables import read_table
 TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # width-guarded shared reader (see operators/tables.py)
-    return read_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
+    # shared reader; wide=True opts into the width-guarded scan
+    # redistribution for fold/parse-heavy single-pass queries
+    # (see operators/tables.py for the A/B and the scale guard)
+    return read_table(spark, sf_dir, name, wide)
 
 
 def _messy_urls(spark, sf_dir):
@@ -277,7 +281,7 @@ def web_host_quality(spark, sf_dir):
     Output: (doc_id, host, host_pass_rate, host_flagged)."""
     from .curation import gate_reason
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     url = F.concat(
         F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 20).cast("string"),
         F.lit(".Example.COM:443/Articles/item-"), F.col("doc_id").cast("string"),
